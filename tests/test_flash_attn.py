@@ -1,0 +1,250 @@
+"""Core flash-attention numerics tests.
+
+Replicates the reference's golden contract (tests/test_flash_attn.py:420,427):
+run the kernel in low precision, an fp32-upcast reference, and a deliberately
+low-precision reference (`upcast=False, reorder_ops=True`); assert
+
+    |out - ref|_max <= 2 * |out_lowprec - ref|_max  (+ tiny atol)
+
+for the output and every gradient. No fixed tolerances.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from xhy_flash_attention_tpu import flash_attn_func, flash_attn_varlen_func
+from xhy_flash_attention_tpu.ops.flash_attention import BlockSizes
+from xhy_flash_attention_tpu.ops.flash_attention.reference import attention_ref
+
+ATOL = 1e-4
+
+
+def _rand(key, shape, dtype):
+    return jax.random.normal(key, shape, jnp.float32).astype(dtype)
+
+
+def check_contract(out, ref, lp, what, mult=2.0, atol=ATOL):
+    err = jnp.max(jnp.abs(out.astype(jnp.float32) - ref.astype(jnp.float32)))
+    err_lp = jnp.max(jnp.abs(lp.astype(jnp.float32) - ref.astype(jnp.float32)))
+    assert err <= mult * err_lp + atol, (
+        f"{what}: err={err:.6g} > {mult}x lowprec err={err_lp:.6g}"
+    )
+
+
+@pytest.mark.parametrize("dtype", [jnp.bfloat16])
+@pytest.mark.parametrize("causal", [False, True])
+@pytest.mark.parametrize("d", [64, 128])
+@pytest.mark.parametrize(
+    "seqlen_q,seqlen_k",
+    [(128, 128), (257, 257), (113, 203), (384, 256)],
+)
+def test_flash_attn_output_and_grads(seqlen_q, seqlen_k, d, causal, dtype):
+    b, h = 2, 3
+    keys = jax.random.split(jax.random.PRNGKey(0), 4)
+    q = _rand(keys[0], (b, seqlen_q, h, d), dtype)
+    k = _rand(keys[1], (b, seqlen_k, h, d), dtype)
+    v = _rand(keys[2], (b, seqlen_k, h, d), dtype)
+    do = _rand(keys[3], (b, seqlen_q, h, d), dtype)
+
+    f = functools.partial(flash_attn_func, causal=causal)
+    out, vjp = jax.vjp(f, q, k, v)
+    dq, dk, dv = vjp(do)
+
+    ref_f = functools.partial(
+        attention_ref, causal=causal, upcast=True
+    )
+    out_ref, vjp_ref = jax.vjp(lambda q, k, v: ref_f(q, k, v)[0], q, k, v)
+    dq_ref, dk_ref, dv_ref = vjp_ref(do)
+
+    lp_f = functools.partial(
+        attention_ref, causal=causal, upcast=False, reorder_ops=True
+    )
+    out_lp, vjp_lp = jax.vjp(lambda q, k, v: lp_f(q, k, v)[0], q, k, v)
+    dq_lp, dk_lp, dv_lp = vjp_lp(do)
+
+    check_contract(out, out_ref, out_lp, "out")
+    check_contract(dq, dq_ref, dq_lp, "dq")
+    check_contract(dk, dk_ref, dk_lp, "dk")
+    check_contract(dv, dv_ref, dv_lp, "dv")
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_flash_attn_gqa(causal):
+    b, sq, sk, h, hk, d = 2, 128, 128, 8, 2, 64
+    dtype = jnp.bfloat16
+    keys = jax.random.split(jax.random.PRNGKey(1), 4)
+    q = _rand(keys[0], (b, sq, h, d), dtype)
+    k = _rand(keys[1], (b, sk, hk, d), dtype)
+    v = _rand(keys[2], (b, sk, hk, d), dtype)
+    do = _rand(keys[3], (b, sq, h, d), dtype)
+
+    f = functools.partial(flash_attn_func, causal=causal)
+    out, vjp = jax.vjp(f, q, k, v)
+    dq, dk, dv = vjp(do)
+    ref_f = lambda q, k, v: attention_ref(q, k, v, causal=causal, upcast=True)[0]
+    out_ref, vjp_ref = jax.vjp(ref_f, q, k, v)
+    dq_ref, dk_ref, dv_ref = vjp_ref(do)
+    lp_f = lambda q, k, v: attention_ref(
+        q, k, v, causal=causal, upcast=False, reorder_ops=True
+    )[0]
+    out_lp, vjp_lp = jax.vjp(lp_f, q, k, v)
+    dq_lp, dk_lp, dv_lp = vjp_lp(do)
+    check_contract(out, out_ref, out_lp, "out")
+    check_contract(dq, dq_ref, dq_lp, "dq")
+    check_contract(dk, dk_ref, dk_lp, "dk")
+    check_contract(dv, dv_ref, dv_lp, "dv")
+
+
+def test_flash_attn_local_window():
+    b, s, h, d = 1, 256, 2, 64
+    dtype = jnp.bfloat16
+    window = (37, 13)
+    keys = jax.random.split(jax.random.PRNGKey(2), 4)
+    q = _rand(keys[0], (b, s, h, d), dtype)
+    k = _rand(keys[1], (b, s, h, d), dtype)
+    v = _rand(keys[2], (b, s, h, d), dtype)
+    do = _rand(keys[3], (b, s, h, d), dtype)
+    f = functools.partial(flash_attn_func, window_size=window)
+    out, vjp = jax.vjp(f, q, k, v)
+    dq, dk, dv = vjp(do)
+    ref_f = lambda q, k, v: attention_ref(
+        q, k, v, window_size=window, upcast=True
+    )[0]
+    out_ref, vjp_ref = jax.vjp(ref_f, q, k, v)
+    dq_ref, dk_ref, dv_ref = vjp_ref(do)
+    lp_f = lambda q, k, v: attention_ref(
+        q, k, v, window_size=window, upcast=False, reorder_ops=True
+    )[0]
+    out_lp, vjp_lp = jax.vjp(lp_f, q, k, v)
+    dq_lp, dk_lp, dv_lp = vjp_lp(do)
+    check_contract(out, out_ref, out_lp, "out")
+    check_contract(dq, dq_ref, dq_lp, "dq")
+    check_contract(dk, dk_ref, dk_lp, "dk")
+    check_contract(dv, dv_ref, dv_lp, "dv")
+
+
+def test_flash_attn_softcap():
+    b, s, h, d = 1, 128, 2, 64
+    dtype = jnp.bfloat16
+    keys = jax.random.split(jax.random.PRNGKey(3), 3)
+    q = _rand(keys[0], (b, s, h, d), dtype)
+    k = _rand(keys[1], (b, s, h, d), dtype)
+    v = _rand(keys[2], (b, s, h, d), dtype)
+    out = flash_attn_func(q, k, v, causal=True, softcap=30.0)
+    out_ref, _ = attention_ref(q, k, v, causal=True, softcap=30.0, upcast=True)
+    out_lp, _ = attention_ref(
+        q, k, v, causal=True, softcap=30.0, upcast=False, reorder_ops=True
+    )
+    check_contract(out, out_ref, out_lp, "out")
+
+
+def test_flash_attn_bias():
+    b, s, h, d = 2, 128, 2, 64
+    dtype = jnp.bfloat16
+    keys = jax.random.split(jax.random.PRNGKey(4), 5)
+    q = _rand(keys[0], (b, s, h, d), dtype)
+    k = _rand(keys[1], (b, s, h, d), dtype)
+    v = _rand(keys[2], (b, s, h, d), dtype)
+    bias = _rand(keys[3], (b, h, s, s), jnp.float32)
+    do = _rand(keys[4], (b, s, h, d), dtype)
+    from xhy_flash_attention_tpu import flash_attention
+
+    qt, kt, vt = (jnp.swapaxes(x, 1, 2) for x in (q, k, v))
+    f = lambda qt, kt, vt, bias: jnp.swapaxes(
+        flash_attention(qt, kt, vt, bias), 1, 2
+    )
+    out, vjp = jax.vjp(f, qt, kt, vt, bias)
+    dq, dk, dv, dbias = vjp(do)
+    ref_f = lambda q, k, v, bias: attention_ref(
+        q, k, v, attn_bias=bias, upcast=True
+    )[0]
+    out_ref, vjp_ref = jax.vjp(ref_f, q, k, v, bias)
+    dq_ref, dk_ref, dv_ref, dbias_ref = vjp_ref(do)
+    lp_f = lambda q, k, v, bias: attention_ref(
+        q, k, v, attn_bias=bias, upcast=False, reorder_ops=True
+    )[0]
+    out_lp, vjp_lp = jax.vjp(lp_f, q, k, v, bias)
+    dq_lp, dk_lp, dv_lp, dbias_lp = vjp_lp(do)
+    check_contract(out, out_ref, out_lp, "out")
+    check_contract(jnp.swapaxes(dq, 1, 2), dq_ref, dq_lp, "dq")
+    check_contract(jnp.swapaxes(dk, 1, 2), dk_ref, dk_lp, "dk")
+    check_contract(jnp.swapaxes(dv, 1, 2), dv_ref, dv_lp, "dv")
+    check_contract(dbias, dbias_ref, dbias_lp, "dbias")
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_flash_attn_varlen(causal):
+    """Packed varlen vs per-sequence dense reference."""
+    h, d = 2, 64
+    dtype = jnp.bfloat16
+    lens = [37, 128, 200, 19]
+    total = sum(lens)
+    cu = jnp.asarray(np.cumsum([0] + lens), jnp.int32)
+    keys = jax.random.split(jax.random.PRNGKey(5), 3)
+    q = _rand(keys[0], (total, h, d), dtype)
+    k = _rand(keys[1], (total, h, d), dtype)
+    v = _rand(keys[2], (total, h, d), dtype)
+    out = flash_attn_varlen_func(
+        q, k, v, cu, cu, max(lens), max(lens), causal=causal
+    )
+    # reference: run each sequence separately
+    for i, (s0, s1) in enumerate(zip(cu[:-1], cu[1:])):
+        s0, s1 = int(s0), int(s1)
+        ref, _ = attention_ref(
+            q[None, s0:s1], k[None, s0:s1], v[None, s0:s1],
+            causal=causal, upcast=True,
+        )
+        lp, _ = attention_ref(
+            q[None, s0:s1], k[None, s0:s1], v[None, s0:s1],
+            causal=causal, upcast=False, reorder_ops=True,
+        )
+        check_contract(out[s0:s1], ref[0], lp[0], f"seq{i}")
+
+
+def test_flash_attn_race_condition():
+    """Determinism: repeated runs must be bitwise identical (out and grads).
+
+    ≙ reference test_flash_attn_race_condition (tests/test_flash_attn.py:798)
+    — but on TPU determinism is structural (no atomics), so dQ is also exact.
+    """
+    b, s, h, d = 1, 256, 2, 64
+    keys = jax.random.split(jax.random.PRNGKey(6), 4)
+    q = _rand(keys[0], (b, s, h, d), jnp.bfloat16)
+    k = _rand(keys[1], (b, s, h, d), jnp.bfloat16)
+    v = _rand(keys[2], (b, s, h, d), jnp.bfloat16)
+    do = _rand(keys[3], (b, s, h, d), jnp.bfloat16)
+    f = jax.jit(
+        lambda q, k, v, do: jax.vjp(
+            functools.partial(flash_attn_func, causal=True), q, k, v
+        )[1](do)
+    )
+    out0 = flash_attn_func(q, k, v, causal=True)
+    g0 = f(q, k, v, do)
+    for _ in range(3):
+        out = flash_attn_func(q, k, v, causal=True)
+        g = f(q, k, v, do)
+        assert jnp.array_equal(out0, out)
+        for a, b_ in zip(g0, g):
+            assert jnp.array_equal(a, b_)
+
+
+def test_empty_rows_lse_inf():
+    """Rows with no valid keys: out = 0, lse = +inf
+    (≙ flash_fwd_kernel.h:509-514)."""
+    from xhy_flash_attention_tpu import flash_attention
+
+    # seqlen_q > seqlen_k with causal bottom-right alignment: row r may see
+    # cols <= r + sk - sq, so rows 0..sq-sk-1 have no valid keys.
+    b, h, sq, sk, d = 1, 1, 128, 64, 64
+    keys = jax.random.split(jax.random.PRNGKey(7), 3)
+    q = _rand(keys[0], (b, h, sq, d), jnp.float32)
+    k = _rand(keys[1], (b, h, sk, d), jnp.float32)
+    v = _rand(keys[2], (b, h, sk, d), jnp.float32)
+    out, lse = flash_attention(q, k, v, causal=True, return_lse=True)
+    assert bool(jnp.all(out[0, 0, :64] == 0.0))
+    assert bool(jnp.all(jnp.isinf(lse[0, 0, :64])))
+    assert bool(jnp.all(jnp.isfinite(lse[0, 0, 64:])))

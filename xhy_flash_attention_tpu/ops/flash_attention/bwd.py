@@ -1,0 +1,553 @@
+"""FlashAttention-2 backward — Pallas TPU kernels.
+
+TPU-native re-design of the reference recompute-based backward
+(csrc/flash_attn/src/flash_bwd_kernel.h):
+
+* the reference runs one seqk-parallel kernel computing dK/dV in registers
+  while atomically-free accumulating dQ in a fp32 HBM workspace, followed by
+  a convert kernel (`compute_dq_dk_dv_1colblock` :427, `convert_dQ` :233).
+  TPUs have no atomics and a sequential grid per core, so we instead split
+  into two clean kernels with independent tilings (the design space the
+  reference exposes as its two parallelization modes,
+  flash_bwd_launch_template.h:50,91):
+    - dKV kernel: grid (batch, q-head, kv-block, q-block), dK/dV accumulated
+      in VMEM scratch across the inner q-block loop;
+    - dQ kernel: grid (batch, q-head, q-block, kv-block), dQ accumulated in
+      VMEM scratch across the inner kv-block loop.
+* `dot_do_o` preprocess (flash_bwd_kernel.h:78) is a one-line XLA reduction —
+  delta = sum(o * do, -1) — which XLA fuses; no dedicated kernel needed.
+* both kernels recompute p = exp(s - lse) from the saved LSE, exactly like
+  the reference (5 matmuls per tile: QK^T, dO V^T, dS^T Q, dS K, P^T dO).
+* GQA: dK/dV are produced per *query* head and reduced over the group outside
+  the kernel in fp32 (the reference instead loops the group inside the CTA).
+* determinism is structural: no atomics anywhere, so the reference's
+  race-condition test (tests/test_flash_attn.py:798) becomes bitwise equality
+  for dQ as well as dK/dV.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .common import NEG_INF, BlockSizes, interpret_mode, pad_to_block, round_up
+
+MIN_LANES = 128
+
+
+def _recompute_p_ds(
+    q, k, v, do, lse, delta, bias, qseg, kseg,
+    *,
+    sm_scale, softcap, dropout_p, rng_block,
+    q_start, c_start, seqlen_k, has_right, has_left, window, offset,
+    apply_position_mask,
+):
+    """Shared recompute: returns (p_dropped_T-ready p, ds_scaled).
+
+    p is the *undropped* softmax probability (used for dV via P^T dO after
+    dropout is applied); ds_scaled = sm_scale * softcap' * p * (dp - delta).
+    """
+    block_q, block_k = q.shape[0], k.shape[0]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    s *= sm_scale
+    if softcap > 0.0:
+        t = jnp.tanh(s / softcap)
+        s = t * softcap
+    if bias is not None:
+        s += bias.astype(jnp.float32)
+    if apply_position_mask:
+        rows = q_start + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
+        cols = c_start + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
+        mask = cols < seqlen_k
+        if has_right:
+            mask = jnp.logical_and(mask, cols <= rows + offset + window[1])
+        if has_left:
+            mask = jnp.logical_and(mask, cols >= rows + offset - window[0])
+        s = jnp.where(mask, s, NEG_INF)
+    if qseg is not None:
+        s = jnp.where(qseg[:, None] == kseg[None, :], s, NEG_INF)
+
+    p = jnp.exp(s - lse[:, None])  # lse=+inf on empty rows -> p=0
+
+    if dropout_p > 0.0:
+        pltpu.prng_seed(*rng_block)
+        bits = pltpu.prng_random_bits((block_q, block_k))
+        keep = pltpu.bitcast(bits, jnp.uint32) >= jnp.uint32(dropout_p * (2.0**32))
+        scale_d = 1.0 / (1.0 - dropout_p)
+        p_dropped = jnp.where(keep, p, 0.0) * scale_d
+    else:
+        p_dropped = p
+
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    if dropout_p > 0.0:
+        dp = jnp.where(keep, dp, 0.0) * scale_d
+    ds_raw = p * (dp - delta[:, None])  # == dbias (bias enters post-softcap)
+    ds = ds_raw
+    if softcap > 0.0:
+        ds = ds * (1.0 - t * t)
+    ds_scaled = ds * sm_scale
+    return p_dropped, ds_scaled, ds_raw
+
+
+def _bwd_dkv_kernel(refs, *, params):
+    it = iter(refs)
+    if params["dropout_p"] > 0.0:
+        seed_ref = next(it)
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref = (
+        next(it), next(it), next(it), next(it), next(it), next(it),
+    )
+    bias_ref = next(it) if params["has_bias"] else None
+    qseg_ref = next(it) if params["has_segments"] else None
+    kseg_ref = next(it) if params["has_segments"] else None
+    dk_ref = next(it)
+    dv_ref = next(it)
+    dbias_ref = next(it) if params["has_bias"] else None
+    dk_scr = next(it)
+    dv_scr = next(it)
+
+    b_idx, h_idx = pl.program_id(0), pl.program_id(1)
+    ikv, iq = pl.program_id(2), pl.program_id(3)
+    bq, bk = params["block_q"], params["block_k"]
+    sq, sk = params["seqlen_q"], params["seqlen_k"]
+    offset = params["offset"]
+    window = params["window"]
+    has_right, has_left = params["has_right"], params["has_left"]
+    nq = params["num_q_blocks"]
+
+    @pl.when(iq == 0)
+    def _init():
+        dk_scr[...] = jnp.zeros_like(dk_scr)
+        dv_scr[...] = jnp.zeros_like(dv_scr)
+
+    q_start = iq * bq
+    c_start = ikv * bk
+    q_last_real = jnp.minimum(q_start + bq, sq) - 1
+    c_last = c_start + bk - 1
+    c_last_real = jnp.minimum(c_last, sk - 1)
+
+    should_run = jnp.logical_and(q_start < sq, c_start < sk)
+    if has_right:
+        should_run = jnp.logical_and(
+            should_run, c_start <= q_last_real + offset + window[1]
+        )
+    if has_left:
+        should_run = jnp.logical_and(
+            should_run, c_last_real >= q_start + offset - window[0]
+        )
+
+    fully_unmasked = jnp.logical_and(c_last < sk, q_start + bq <= sq)
+    if has_right:
+        fully_unmasked = jnp.logical_and(
+            fully_unmasked, c_last <= q_start + offset + window[1]
+        )
+    if has_left:
+        fully_unmasked = jnp.logical_and(
+            fully_unmasked, c_start >= q_start + bq - 1 + offset - window[0]
+        )
+
+    def body(apply_position_mask):
+        q = q_ref[0, 0]
+        do = do_ref[0, 0]
+        lse = lse_ref[0, 0]
+        delta = delta_ref[0, 0]
+        rng_block = None
+        if params["dropout_p"] > 0.0:
+            rng_block = (
+                seed_ref[0],
+                b_idx * pl.num_programs(1) + h_idx,
+                iq * params["num_kv_blocks"] + ikv,
+            )
+        p_dropped, ds_scaled, ds_raw = _recompute_p_ds(
+            q, k_ref[0, 0], v_ref[0, 0], do, lse, delta,
+            bias_ref[0, 0] if bias_ref is not None else None,
+            qseg_ref[0] if qseg_ref is not None else None,
+            kseg_ref[0] if kseg_ref is not None else None,
+            sm_scale=params["sm_scale"], softcap=params["softcap"],
+            dropout_p=params["dropout_p"], rng_block=rng_block,
+            q_start=q_start, c_start=c_start, seqlen_k=sk,
+            has_right=has_right, has_left=has_left, window=window,
+            offset=offset, apply_position_mask=apply_position_mask,
+        )
+        if dbias_ref is not None:
+            dbias_ref[0, 0] = ds_raw
+        dtype = q.dtype
+        # dV += P_dropped^T @ dO   (contract over q rows)
+        dv_scr[...] += jax.lax.dot_general(
+            p_dropped.astype(dtype), do,
+            (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        )
+        # dK += dS^T @ Q
+        dk_scr[...] += jax.lax.dot_general(
+            ds_scaled.astype(dtype), q,
+            (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        )
+
+    # Masking rows beyond seqlen_q matters here (their p/ds must be 0), so
+    # fold the q-bounds check into the boundary branch.
+    needs_branch = (
+        has_right or has_left
+        or (sk % bk != 0) or (sq % bq != 0)
+    )
+    if needs_branch:
+        @pl.when(jnp.logical_and(should_run, fully_unmasked))
+        def _fast():
+            body(False)
+
+        @pl.when(jnp.logical_and(should_run, jnp.logical_not(fully_unmasked)))
+        def _masked():
+            body(True)
+    else:
+        @pl.when(should_run)
+        def _run():
+            body(False)
+
+    if params["has_bias"]:
+        # dbias blocks for skipped (q, kv) pairs must still be zeroed.
+        @pl.when(jnp.logical_not(should_run))
+        def _zero_dbias():
+            dbias_ref[0, 0] = jnp.zeros_like(dbias_ref[0, 0])
+
+    @pl.when(iq == nq - 1)
+    def _finish():
+        dk_ref[0, 0] = dk_scr[...]
+        dv_ref[0, 0] = dv_scr[...]
+
+
+def _bwd_dq_kernel(refs, *, params):
+    it = iter(refs)
+    if params["dropout_p"] > 0.0:
+        seed_ref = next(it)
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref = (
+        next(it), next(it), next(it), next(it), next(it), next(it),
+    )
+    bias_ref = next(it) if params["has_bias"] else None
+    qseg_ref = next(it) if params["has_segments"] else None
+    kseg_ref = next(it) if params["has_segments"] else None
+    dq_ref = next(it)
+    dq_scr = next(it)
+
+    b_idx, h_idx = pl.program_id(0), pl.program_id(1)
+    iq, ikv = pl.program_id(2), pl.program_id(3)
+    bq, bk = params["block_q"], params["block_k"]
+    sq, sk = params["seqlen_q"], params["seqlen_k"]
+    offset = params["offset"]
+    window = params["window"]
+    has_right, has_left = params["has_right"], params["has_left"]
+    nkv = params["num_kv_blocks"]
+
+    @pl.when(ikv == 0)
+    def _init():
+        dq_scr[...] = jnp.zeros_like(dq_scr)
+
+    q_start = iq * bq
+    c_start = ikv * bk
+    q_last_real = jnp.minimum(q_start + bq, sq) - 1
+    c_last = c_start + bk - 1
+    c_last_real = jnp.minimum(c_last, sk - 1)
+
+    should_run = jnp.logical_and(q_start < sq, c_start < sk)
+    if has_right:
+        should_run = jnp.logical_and(
+            should_run, c_start <= q_last_real + offset + window[1]
+        )
+    if has_left:
+        should_run = jnp.logical_and(
+            should_run, c_last_real >= q_start + offset - window[0]
+        )
+
+    fully_unmasked = c_last < sk
+    if has_right:
+        fully_unmasked = jnp.logical_and(
+            fully_unmasked, c_last <= q_start + offset + window[1]
+        )
+    if has_left:
+        fully_unmasked = jnp.logical_and(
+            fully_unmasked, c_start >= q_start + bq - 1 + offset - window[0]
+        )
+
+    def body(apply_position_mask):
+        q = q_ref[0, 0]
+        rng_block = None
+        if params["dropout_p"] > 0.0:
+            rng_block = (
+                seed_ref[0],
+                b_idx * pl.num_programs(1) + h_idx,
+                iq * nkv + ikv,
+            )
+        _, ds_scaled, _ = _recompute_p_ds(
+            q, k_ref[0, 0], v_ref[0, 0], do_ref[0, 0],
+            lse_ref[0, 0], delta_ref[0, 0],
+            bias_ref[0, 0] if bias_ref is not None else None,
+            qseg_ref[0] if qseg_ref is not None else None,
+            kseg_ref[0] if kseg_ref is not None else None,
+            sm_scale=params["sm_scale"], softcap=params["softcap"],
+            dropout_p=params["dropout_p"], rng_block=rng_block,
+            q_start=q_start, c_start=c_start, seqlen_k=sk,
+            has_right=has_right, has_left=has_left, window=window,
+            offset=offset, apply_position_mask=apply_position_mask,
+        )
+        # dQ += dS @ K
+        dq_scr[...] += jax.lax.dot_general(
+            ds_scaled.astype(q.dtype), k_ref[0, 0],
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        )
+
+    needs_branch = has_right or has_left or (sk % bk != 0)
+    if needs_branch:
+        @pl.when(jnp.logical_and(should_run, fully_unmasked))
+        def _fast():
+            body(False)
+
+        @pl.when(jnp.logical_and(should_run, jnp.logical_not(fully_unmasked)))
+        def _masked():
+            body(True)
+    else:
+        @pl.when(should_run)
+        def _run():
+            body(False)
+
+    @pl.when(ikv == nkv - 1)
+    def _finish():
+        dq_ref[0, 0] = dq_scr[...].astype(dq_ref.dtype)
+
+
+def flash_attention_bwd(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    out: jax.Array,
+    lse: jax.Array,
+    do: jax.Array,
+    bias: Optional[jax.Array] = None,
+    q_segment_ids: Optional[jax.Array] = None,
+    kv_segment_ids: Optional[jax.Array] = None,
+    *,
+    sm_scale: float,
+    causal: bool = False,
+    window_size: Tuple[int, int] = (-1, -1),
+    softcap: float = 0.0,
+    dropout_p: float = 0.0,
+    dropout_seed: Optional[jax.Array] = None,
+    block_sizes: Optional[BlockSizes] = None,
+    interpret: Optional[bool] = None,
+):
+    """Backward flash attention on (b, h, s, d) tensors.
+
+    Returns (dq, dk, dv) with dk/dv reduced over the GQA group (shape of k/v).
+    """
+    if causal:
+        window_size = (window_size[0], 0)
+    b, h, sq, d = q.shape
+    _, hk, sk, _ = k.shape
+    g = h // hk
+    if block_sizes is None:
+        block_sizes = BlockSizes.for_shape(sq, sk, d, q.dtype)
+
+    # delta = rowsum(dO * O) (≙ dot_do_o preprocess, flash_bwd_kernel.h:78)
+    delta = jnp.sum(out.astype(jnp.float32) * do.astype(jnp.float32), axis=-1)
+
+    has_right = window_size[1] >= 0
+    has_left = window_size[0] >= 0
+    offset = sk - sq
+    has_bias = bias is not None
+    has_segments = q_segment_ids is not None
+
+    if has_bias:
+        bias = jnp.asarray(bias)
+        if bias.ndim == 2:
+            bias = bias[None, None]
+        elif bias.ndim == 3:
+            bias = bias[:, None]
+
+    interp = interpret_mode() if interpret is None else interpret
+
+    def make_common(bq, bk, nq, nkv, kv_index, q_index):
+        """in_specs + inputs shared by both kernels."""
+        qp = pad_to_block(q, 2, bq)
+        kp = pad_to_block(k, 2, bk)
+        vp = pad_to_block(v, 2, bk)
+        dop = pad_to_block(do, 2, bq)
+        lsep = pad_to_block(lse, 2, bq)
+        deltap = pad_to_block(delta, 2, bq)
+        inputs = [qp, kp, vp, dop, lsep, deltap]
+        specs = [
+            pl.BlockSpec((1, 1, bq, d), lambda b_, h_, i, j, *_: (b_, h_, q_index(i, j), 0)),
+            pl.BlockSpec((1, 1, bk, d), lambda b_, h_, i, j, *_: (b_, h_ // g, kv_index(i, j), 0)),
+            pl.BlockSpec((1, 1, bk, d), lambda b_, h_, i, j, *_: (b_, h_ // g, kv_index(i, j), 0)),
+            pl.BlockSpec((1, 1, bq, d), lambda b_, h_, i, j, *_: (b_, h_, q_index(i, j), 0)),
+            pl.BlockSpec((1, 1, bq), lambda b_, h_, i, j, *_: (b_, h_, q_index(i, j))),
+            pl.BlockSpec((1, 1, bq), lambda b_, h_, i, j, *_: (b_, h_, q_index(i, j))),
+        ]
+        if has_bias:
+            bp = pad_to_block(pad_to_block(bias, 3, bk), 2, bq)
+            bb, bh = bp.shape[0], bp.shape[1]
+            specs.append(
+                pl.BlockSpec(
+                    (1, 1, bq, bk),
+                    lambda b_, h_, i, j, *_, bb=bb, bh=bh: (
+                        b_ if bb > 1 else 0, h_ if bh > 1 else 0,
+                        q_index(i, j), kv_index(i, j),
+                    ),
+                )
+            )
+            inputs.append(bp)
+        if has_segments:
+            qsegp = pad_to_block(q_segment_ids.astype(jnp.int32), 1, bq)
+            ksegp = pad_to_block(kv_segment_ids.astype(jnp.int32), 1, bk)
+            specs.append(pl.BlockSpec((1, bq), lambda b_, h_, i, j, *_: (b_, q_index(i, j))))
+            specs.append(pl.BlockSpec((1, bk), lambda b_, h_, i, j, *_: (b_, kv_index(i, j))))
+            inputs.extend([qsegp, ksegp])
+        return inputs, specs, qp.shape[2], kp.shape[2]
+
+    num_prefetch = 0
+    seed_input = []
+    if dropout_p > 0.0:
+        num_prefetch = 1
+        seed_input = [jnp.asarray(dropout_seed, jnp.int32).reshape((1,))]
+
+    # ---- dKV kernel: grid (b, h, kv-block, q-block) ----
+    bq1, bk1 = block_sizes.block_q_dkv, block_sizes.block_k_dkv
+    bq1 = min(bq1, round_up(sq, 128))
+    bk1 = min(bk1, round_up(sk, 128))
+    nq1, nkv1 = -(-round_up(sq, bq1) // bq1), -(-round_up(sk, bk1) // bk1)
+
+    def q_index_dkv(ikv, iq):
+        # clamp skipped q blocks onto the resident block to kill dead DMAs;
+        # with a dbias output every (q, kv) block must be visited unclamped.
+        if has_bias:
+            return iq
+        if has_right:
+            lo = jnp.maximum((ikv * bk1 - offset - window_size[1]) // bq1, 0)
+            iq = jnp.maximum(iq, lo)
+        if has_left:
+            hi = (ikv * bk1 + bk1 - 1 - offset + window_size[0]) // bq1
+            iq = jnp.minimum(iq, jnp.maximum(hi, 0))
+        return jnp.clip(iq, 0, nq1 - 1)
+
+    inputs1, specs1, sqp1, skp1 = make_common(
+        bq1, bk1, nq1, nkv1,
+        kv_index=lambda ikv, iq: ikv, q_index=q_index_dkv,
+    )
+    params1 = dict(
+        sm_scale=sm_scale, softcap=softcap, dropout_p=dropout_p,
+        has_bias=has_bias, has_segments=has_segments,
+        has_right=has_right, has_left=has_left, window=window_size,
+        offset=offset, seqlen_q=sq, seqlen_k=sk,
+        block_q=bq1, block_k=bk1, num_q_blocks=nq1, num_kv_blocks=nkv1,
+    )
+    out_specs1 = [
+        pl.BlockSpec((1, 1, bk1, d), lambda b_, h_, ikv, iq, *_: (b_, h_, ikv, 0)),
+        pl.BlockSpec((1, 1, bk1, d), lambda b_, h_, ikv, iq, *_: (b_, h_, ikv, 0)),
+    ]
+    out_shapes1 = [
+        jax.ShapeDtypeStruct((b, h, skp1, d), jnp.float32),
+        jax.ShapeDtypeStruct((b, h, skp1, d), jnp.float32),
+    ]
+    if has_bias:
+        out_specs1.append(
+            pl.BlockSpec(
+                (1, 1, bq1, bk1), lambda b_, h_, ikv, iq, *_: (b_, h_, iq, ikv)
+            )
+        )
+        out_shapes1.append(
+            jax.ShapeDtypeStruct((b, h, sqp1, skp1), jnp.float32)
+        )
+    results1 = pl.pallas_call(
+        functools.partial(_bwd_dkv_entry, params=params1),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=num_prefetch,
+            grid=(b, h, nkv1, nq1),
+            in_specs=specs1,
+            out_specs=out_specs1,
+            scratch_shapes=[
+                pltpu.VMEM((bk1, d), jnp.float32),
+                pltpu.VMEM((bk1, d), jnp.float32),
+            ],
+        ),
+        out_shape=out_shapes1,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interp,
+    )(*seed_input, *inputs1)
+    dk_ph, dv_ph = results1[0], results1[1]
+    dbias = None
+    if has_bias:
+        dbias_full = results1[2][:, :, :sq, :sk]
+        # reduce over broadcast batch/head dims of the original bias
+        bb, bh = bias.shape[0], bias.shape[1]
+        if bb == 1:
+            dbias_full = jnp.sum(dbias_full, axis=0, keepdims=True)
+        if bh == 1:
+            dbias_full = jnp.sum(dbias_full, axis=1, keepdims=True)
+        dbias = dbias_full.astype(bias.dtype)
+    dk_ph = dk_ph[:, :, :sk]
+    dv_ph = dv_ph[:, :, :sk]
+    if g > 1:
+        dk = jnp.sum(dk_ph.reshape(b, hk, g, sk, d), axis=2)
+        dv = jnp.sum(dv_ph.reshape(b, hk, g, sk, d), axis=2)
+    else:
+        dk, dv = dk_ph, dv_ph
+    dk = dk.astype(k.dtype)
+    dv = dv.astype(v.dtype)
+
+    # ---- dQ kernel: grid (b, h, q-block, kv-block) ----
+    bq2, bk2 = block_sizes.block_q_dq, block_sizes.block_k_dq
+    bq2 = min(bq2, round_up(sq, 128))
+    bk2 = min(bk2, round_up(sk, 128))
+    nq2, nkv2 = -(-round_up(sq, bq2) // bq2), -(-round_up(sk, bk2) // bk2)
+
+    def kv_index_dq(iq, ikv):
+        if has_right:
+            hi = jnp.maximum((iq * bq2 + bq2 - 1 + offset + window_size[1]) // bk2, 0)
+            ikv = jnp.minimum(ikv, hi)
+        if has_left:
+            lo = jnp.minimum((iq * bq2 + offset - window_size[0]) // bk2, nkv2 - 1)
+            ikv = jnp.maximum(ikv, jnp.maximum(lo, 0))
+        return jnp.clip(ikv, 0, nkv2 - 1)
+
+    inputs2, specs2, sqp2, _ = make_common(
+        bq2, bk2, nq2, nkv2,
+        kv_index=lambda iq, ikv: kv_index_dq(iq, ikv),
+        q_index=lambda iq, ikv: iq,
+    )
+    params2 = dict(params1)
+    params2.update(
+        block_q=bq2, block_k=bk2, num_q_blocks=nq2, num_kv_blocks=nkv2,
+    )
+    dq = pl.pallas_call(
+        functools.partial(_bwd_dq_entry, params=params2),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=num_prefetch,
+            grid=(b, h, nq2, nkv2),
+            in_specs=specs2,
+            out_specs=pl.BlockSpec(
+                (1, 1, bq2, d), lambda b_, h_, iq, ikv, *_: (b_, h_, iq, 0)
+            ),
+            scratch_shapes=[pltpu.VMEM((bq2, d), jnp.float32)],
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, h, sqp2, d), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interp,
+    )(*seed_input, *inputs2)
+    dq = dq[:, :, :sq]
+    return dq, dk, dv, dbias
+
+
+def _bwd_dkv_entry(*refs, params):
+    _bwd_dkv_kernel(refs, params=params)
+
+
+def _bwd_dq_entry(*refs, params):
+    _bwd_dq_kernel(refs, params=params)

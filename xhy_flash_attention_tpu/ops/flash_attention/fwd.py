@@ -1,0 +1,382 @@
+"""FlashAttention-2 forward — Pallas TPU kernel.
+
+TPU-native re-design of the reference CUDA forward
+(csrc/flash_attn/src/flash_fwd_kernel.h:122 `compute_attn_1rowblock`):
+
+* the CUDA CTA grid (batch, heads, q-blocks) with an in-kernel reverse KV loop
+  becomes a Pallas grid (batch, heads, q-blocks, kv-blocks) where the KV axis
+  is the innermost "arbitrary" (sequential) dimension and VMEM scratch carries
+  the online-softmax state (m, l, acc) across KV steps;
+* smem tiles + cp.async double buffering become BlockSpec-driven automatic
+  VMEM pipelining;
+* the `BOOL_SWITCH` compile-time dispatch (static_switch.h) is simply Python
+  trace-time specialization under `jax.jit`;
+* causal/sliding-window block skipping (`n_block_max` clamp,
+  flash_fwd_kernel.h:147-153) becomes `@pl.when` guards plus index-map
+  clamping so skipped KV iterations re-use the resident VMEM block and issue
+  no HBM traffic;
+* MQA/GQA head broadcast (`h_h_k_ratio`) is an index-map division — K/V are
+  never materialized per-Q-head;
+* the fully-masked-block skip / fully-unmasked-block bypass of FlashMask
+  (flash_fwd_kernel.h:1305-1349) is a two-branch kernel body: boundary blocks
+  take the masked path, interior blocks skip all VPU mask work.
+
+Dropout uses the TPU core PRNG (pltpu.prng_seed / prng_random_bits) seeded
+deterministically per (batch, head, q-block, kv-block) so the backward pass
+regenerates the identical mask — replacing the reference's Philox state.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .common import (
+    NEG_INF,
+    BlockSizes,
+    cdiv,
+    interpret_mode,
+    pad_to_block,
+)
+
+MIN_LANES = 128
+
+
+def _fwd_kernel(
+    refs,
+    *,
+    sm_scale: float,
+    has_right: bool,
+    has_left: bool,
+    window: Tuple[int, int],
+    offset: int,
+    softcap: float,
+    has_bias: bool,
+    has_segments: bool,
+    dropout_p: float,
+    seqlen_q: int,
+    seqlen_k: int,
+    block_q: int,
+    block_k: int,
+    num_kv_blocks: int,
+):
+    it = iter(refs)
+    if dropout_p > 0.0:
+        seed_ref = next(it)
+    q_ref = next(it)
+    k_ref = next(it)
+    v_ref = next(it)
+    bias_ref = next(it) if has_bias else None
+    qseg_ref = next(it) if has_segments else None
+    kseg_ref = next(it) if has_segments else None
+    o_ref = next(it)
+    lse_ref = next(it)
+    m_scr = next(it)
+    l_scr = next(it)
+    acc_scr = next(it)
+
+    b_idx = pl.program_id(0)
+    h_idx = pl.program_id(1)
+    iq = pl.program_id(2)
+    ikv = pl.program_id(3)
+
+    @pl.when(ikv == 0)
+    def _init():
+        m_scr[...] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    q_start = iq * block_q
+    c_start = ikv * block_k
+    q_last_real = jnp.minimum(q_start + block_q, seqlen_q) - 1
+    c_last = c_start + block_k - 1
+    c_last_real = jnp.minimum(c_last, seqlen_k - 1)
+
+    should_run = jnp.logical_and(q_start < seqlen_q, c_start < seqlen_k)
+    if has_right:
+        should_run = jnp.logical_and(
+            should_run, c_start <= q_last_real + offset + window[1]
+        )
+    if has_left:
+        should_run = jnp.logical_and(
+            should_run, c_last_real >= q_start + offset - window[0]
+        )
+
+    # Fully-unmasked bypass: interior blocks skip all positional mask work
+    # (≙ reference full-block bypass, flash_fwd_kernel.h:1347-1349).
+    fully_unmasked = c_last < seqlen_k
+    if has_right:
+        fully_unmasked = jnp.logical_and(
+            fully_unmasked, c_last <= q_start + offset + window[1]
+        )
+    if has_left:
+        fully_unmasked = jnp.logical_and(
+            fully_unmasked, c_start >= q_start + block_q - 1 + offset - window[0]
+        )
+
+    def body(apply_position_mask: bool):
+        q = q_ref[0, 0]
+        k = k_ref[0, 0]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        s *= sm_scale
+        if softcap > 0.0:
+            s = jnp.tanh(s / softcap) * softcap
+        if has_bias:
+            s += bias_ref[0, 0].astype(jnp.float32)
+        if apply_position_mask:
+            rows = q_start + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 0
+            )
+            cols = c_start + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 1
+            )
+            mask = cols < seqlen_k
+            if has_right:
+                mask = jnp.logical_and(mask, cols <= rows + offset + window[1])
+            if has_left:
+                mask = jnp.logical_and(mask, cols >= rows + offset - window[0])
+            s = jnp.where(mask, s, NEG_INF)
+        if has_segments:
+            qseg = qseg_ref[0][:, None]
+            kseg = kseg_ref[0][None, :]
+            s = jnp.where(qseg == kseg, s, NEG_INF)
+
+        m_prev = m_scr[...]
+        l_prev = l_scr[...]
+        m_curr = jnp.max(s, axis=-1, keepdims=True)
+        m_next = jnp.maximum(m_prev, m_curr)  # (bq, 128)
+        alpha = jnp.exp(m_prev - m_next)
+        # Clamp the exp shift so fully-masked rows (m_next == NEG_INF)
+        # underflow to p = 0 instead of exp(0) = 1 (empty-row contract:
+        # out = 0, lse = +inf, ≙ flash_fwd_kernel.h:509-514).
+        p = jnp.exp(s - jnp.maximum(m_next[:, :1], 0.5 * NEG_INF))
+        l_scr[...] = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
+        m_scr[...] = m_next
+
+        if dropout_p > 0.0:
+            # Deterministic per-block seed: backward regenerates the same bits.
+            pltpu.prng_seed(
+                seed_ref[0],
+                b_idx * pl.num_programs(1) + h_idx,
+                iq * num_kv_blocks + ikv,
+            )
+            bits = pltpu.prng_random_bits((block_q, block_k))
+            threshold = jnp.uint32(dropout_p * (2.0**32))
+            keep = pltpu.bitcast(bits, jnp.uint32) >= threshold
+            p_dropped = jnp.where(keep, p, 0.0) * (1.0 / (1.0 - dropout_p))
+        else:
+            p_dropped = p
+
+        v = v_ref[0, 0]
+        pv = jax.lax.dot_general(
+            p_dropped.astype(v.dtype),
+            v,
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc_scr[...] = acc_scr[...] * alpha[:, :1] + pv
+
+    needs_branch = has_right or has_left or (seqlen_k % block_k != 0)
+    if needs_branch:
+        @pl.when(jnp.logical_and(should_run, fully_unmasked))
+        def _fast():
+            body(False)
+
+        @pl.when(jnp.logical_and(should_run, jnp.logical_not(fully_unmasked)))
+        def _masked():
+            body(True)
+    else:
+        @pl.when(should_run)
+        def _run():
+            body(True if has_segments else False)
+
+    @pl.when(ikv == num_kv_blocks - 1)
+    def _finish():
+        l = l_scr[:, :1]
+        l_inv = jnp.where(l == 0.0, 0.0, 1.0 / l)
+        o_ref[0, 0] = (acc_scr[...] * l_inv).astype(o_ref.dtype)
+        m = m_scr[:, 0]
+        lvec = l_scr[:, 0]
+        lse = jnp.where(
+            lvec == 0.0, jnp.inf, m + jnp.log(jnp.maximum(lvec, 1e-37))
+        )
+        lse_ref[0, 0] = lse
+
+
+def flash_attention_fwd(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    bias: Optional[jax.Array] = None,
+    q_segment_ids: Optional[jax.Array] = None,
+    kv_segment_ids: Optional[jax.Array] = None,
+    *,
+    sm_scale: float,
+    causal: bool = False,
+    window_size: Tuple[int, int] = (-1, -1),
+    softcap: float = 0.0,
+    dropout_p: float = 0.0,
+    dropout_seed: Optional[jax.Array] = None,
+    block_sizes: Optional[BlockSizes] = None,
+    interpret: Optional[bool] = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """Forward flash attention on (batch, heads, seq, head_dim) inputs.
+
+    Returns (out, lse) with lse = logsumexp of scaled scores, shape (b, h, sq),
+    fp32 (≙ reference softmax_lse, flash_api.cpp mha_fwd).
+    """
+    if causal:
+        window_size = (window_size[0], 0)
+    b, h, sq, d = q.shape
+    _, hk, sk, _ = k.shape
+    assert h % hk == 0, (h, hk)
+    if block_sizes is None:
+        block_sizes = BlockSizes.for_shape(sq, sk, d, q.dtype)
+    from .common import round_up
+    bq = min(block_sizes.block_q, round_up(sq, 128))
+    bk = min(block_sizes.block_k, round_up(sk, 128))
+    g = h // hk
+
+    qp = pad_to_block(q, 2, bq)
+    kp = pad_to_block(k, 2, bk)
+    vp = pad_to_block(v, 2, bk)
+    sqp, skp = qp.shape[2], kp.shape[2]
+    nq, nkv = sqp // bq, skp // bk
+    offset = sk - sq
+    has_right = window_size[1] >= 0
+    has_left = window_size[0] >= 0
+
+    def kv_index(iq, ikv):
+        if has_right:
+            hi = jnp.maximum((iq * bq + bq - 1 + offset + window_size[1]) // bk, 0)
+            ikv = jnp.minimum(ikv, hi)
+        if has_left:
+            lo = jnp.minimum((iq * bq + offset - window_size[0]) // bk, nkv - 1)
+            ikv = jnp.maximum(ikv, jnp.maximum(lo, 0))
+        return jnp.clip(ikv, 0, nkv - 1)
+
+    in_specs = []
+    inputs = []
+    num_scalar_prefetch = 0
+    if dropout_p > 0.0:
+        if dropout_seed is None:
+            raise ValueError("dropout requires a seed")
+        inputs.append(jnp.asarray(dropout_seed, jnp.int32).reshape((1,)))
+        num_scalar_prefetch = 1
+    inputs.extend([qp, kp, vp])
+    in_specs.extend([
+        pl.BlockSpec((1, 1, bq, d), lambda b_, h_, iq, ikv, *_: (b_, h_, iq, 0)),
+        pl.BlockSpec(
+            (1, 1, bk, d),
+            lambda b_, h_, iq, ikv, *_: (b_, h_ // g, kv_index(iq, ikv), 0),
+        ),
+        pl.BlockSpec(
+            (1, 1, bk, d),
+            lambda b_, h_, iq, ikv, *_: (b_, h_ // g, kv_index(iq, ikv), 0),
+        ),
+    ])
+    has_bias = bias is not None
+    if has_bias:
+        bias = jnp.asarray(bias)
+        if bias.ndim == 2:
+            bias = bias[None, None]
+        elif bias.ndim == 3:
+            bias = bias[:, None]
+        bias = pad_to_block(pad_to_block(bias, 3, bk), 2, bq)
+        bb, bh = bias.shape[0], bias.shape[1]
+        in_specs.append(
+            pl.BlockSpec(
+                (1, 1, bq, bk),
+                lambda b_, h_, iq, ikv, *_, bb=bb, bh=bh: (
+                    b_ if bb > 1 else 0,
+                    h_ if bh > 1 else 0,
+                    iq,
+                    kv_index(iq, ikv),
+                ),
+            )
+        )
+        inputs.append(bias)
+    has_segments = q_segment_ids is not None
+    if has_segments:
+        qseg = pad_to_block(q_segment_ids.astype(jnp.int32), 1, bq)
+        kseg = pad_to_block(kv_segment_ids.astype(jnp.int32), 1, bk)
+        in_specs.append(
+            pl.BlockSpec((1, bq), lambda b_, h_, iq, ikv, *_: (b_, iq))
+        )
+        in_specs.append(
+            pl.BlockSpec((1, bk), lambda b_, h_, iq, ikv, *_: (b_, kv_index(iq, ikv)))
+        )
+        inputs.extend([qseg, kseg])
+
+    out_shape = [
+        jax.ShapeDtypeStruct((b, h, sqp, d), q.dtype),
+        jax.ShapeDtypeStruct((b, h, sqp), jnp.float32),
+    ]
+    out_specs = [
+        pl.BlockSpec((1, 1, bq, d), lambda b_, h_, iq, ikv, *_: (b_, h_, iq, 0)),
+        pl.BlockSpec((1, 1, bq), lambda b_, h_, iq, ikv, *_: (b_, h_, iq)),
+    ]
+
+    kernel = functools.partial(
+        _fwd_kernel_entry,
+        sm_scale=sm_scale,
+        has_right=has_right,
+        has_left=has_left,
+        window=window_size,
+        offset=offset,
+        softcap=softcap,
+        has_bias=has_bias,
+        has_segments=has_segments,
+        dropout_p=dropout_p,
+        seqlen_q=sq,
+        seqlen_k=sk,
+        block_q=bq,
+        block_k=bk,
+        num_kv_blocks=nkv,
+    )
+
+    grid = (b, h, nq, nkv)
+    flops_factor = 1.0
+    if has_right and offset + window_size[1] == 0:
+        flops_factor = 0.5
+    cost = pl.CostEstimate(
+        flops=int(4 * b * h * sq * sk * d * flops_factor),
+        bytes_accessed=int(
+            q.size * q.dtype.itemsize
+            + k.size * k.dtype.itemsize * 2
+            + q.size * q.dtype.itemsize
+        ),
+        transcendentals=int(b * h * sq * sk * flops_factor),
+    )
+    out, lse = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=num_scalar_prefetch,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=out_specs,
+            scratch_shapes=[
+                pltpu.VMEM((bq, MIN_LANES), jnp.float32),
+                pltpu.VMEM((bq, MIN_LANES), jnp.float32),
+                pltpu.VMEM((bq, d), jnp.float32),
+            ],
+        ),
+        out_shape=out_shape,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=cost,
+        interpret=interpret_mode() if interpret is None else interpret,
+    )(*inputs)
+    return out[:, :, :sq], lse[:, :, :sq]
+
+
+def _fwd_kernel_entry(*refs, **params):
+    _fwd_kernel(refs, **params)

@@ -1,0 +1,326 @@
+"""Public flash-attention API — TPU-native equivalent of the reference's
+``flash_attn/flash_attn_interface.py`` (six public functions :282-492).
+
+Differences by design:
+  * layout conversion (b, s, h, d) <-> kernel-native (b, h, s, d) happens
+    here; models built on this package can call :func:`flash_attention`
+    directly in kernel layout and skip the transposes;
+  * ``torch.autograd.Function`` becomes ``jax.custom_vjp`` (one per static
+    configuration, cached — the JIT plays the role of BOOL_SWITCH dispatch);
+  * varlen is packed-sequence attention with segment ids derived from
+    ``cu_seqlens`` (TPUs have no ragged grids) — see bert_padding;
+  * dropout takes an explicit integer seed (stateless, reproducible) instead
+    of torch's global RNG; fwd and bwd regenerate identical masks because
+    they share tile sizes and per-block seeds;
+  * everything is deterministic (no atomics), so there is no
+    ``deterministic`` flag to pass — it is accepted and ignored for parity.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import math
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .common import BlockSizes, round_up
+from .fwd import flash_attention_fwd
+from .bwd import flash_attention_bwd
+
+__all__ = [
+    "flash_attention",
+    "flash_attn_func",
+    "flash_attn_qkvpacked_func",
+    "flash_attn_kvpacked_func",
+    "flash_attn_varlen_func",
+    "flash_attn_varlen_qkvpacked_func",
+    "flash_attn_varlen_kvpacked_func",
+]
+
+
+class _Static(NamedTuple):
+    sm_scale: float
+    causal: bool
+    window_size: Tuple[int, int]
+    softcap: float
+    dropout_p: float
+    block_q: int
+    block_k: int
+    block_q_dkv: int
+    block_k_dkv: int
+    block_q_dq: int
+    block_k_dq: int
+
+    def fwd_blocks(self) -> BlockSizes:
+        return BlockSizes(
+            block_q=self.block_q, block_k=self.block_k,
+            block_q_dkv=self.block_q_dkv, block_k_dkv=self.block_k_dkv,
+            block_q_dq=self.block_q_dq, block_k_dq=self.block_k_dq,
+        )
+
+
+def _resolve_static(sm_scale, causal, window_size, softcap, dropout_p,
+                    block_sizes: Optional[BlockSizes],
+                    sq: int, sk: int, d: int) -> _Static:
+    if block_sizes is None:
+        block_sizes = BlockSizes.for_shape(sq, sk, d)
+    bs = block_sizes
+    if dropout_p > 0.0:
+        # fwd/bwd must share tile shapes so the per-block PRNG streams match.
+        bq = min(bs.block_q, 128 if d > 128 else 256, round_up(sq, 128))
+        bk = min(bs.block_k, 128 if d > 128 else 256, round_up(sk, 128))
+        bs = BlockSizes(block_q=bq, block_k=bk,
+                        block_q_dkv=bq, block_k_dkv=bk,
+                        block_q_dq=bq, block_k_dq=bk)
+    return _Static(
+        sm_scale=float(sm_scale), causal=bool(causal),
+        window_size=(int(window_size[0]), int(window_size[1])),
+        softcap=float(softcap), dropout_p=float(dropout_p),
+        block_q=bs.block_q, block_k=bs.block_k,
+        block_q_dkv=bs.block_q_dkv, block_k_dkv=bs.block_k_dkv,
+        block_q_dq=bs.block_q_dq, block_k_dq=bs.block_k_dq,
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _make_attention_fn(static: _Static, return_lse: bool):
+    kw = dict(
+        sm_scale=static.sm_scale,
+        causal=static.causal,
+        window_size=static.window_size,
+        softcap=static.softcap,
+        dropout_p=static.dropout_p,
+        block_sizes=static.fwd_blocks(),
+    )
+
+    @jax.custom_vjp
+    def attn(q, k, v, bias, q_seg, kv_seg, seed):
+        out, lse = flash_attention_fwd(
+            q, k, v, bias, q_seg, kv_seg, dropout_seed=seed, **kw
+        )
+        return (out, lse) if return_lse else out
+
+    def attn_fwd(q, k, v, bias, q_seg, kv_seg, seed):
+        out, lse = flash_attention_fwd(
+            q, k, v, bias, q_seg, kv_seg, dropout_seed=seed, **kw
+        )
+        res = (q, k, v, bias, q_seg, kv_seg, seed, out, lse)
+        return ((out, lse) if return_lse else out), res
+
+    def attn_bwd(res, g):
+        q, k, v, bias, q_seg, kv_seg, seed, out, lse = res
+        do = g[0] if return_lse else g
+        dq, dk, dv, dbias = flash_attention_bwd(
+            q, k, v, out, lse, do, bias, q_seg, kv_seg,
+            dropout_seed=seed, **kw
+        )
+        if dbias is not None:
+            dbias = dbias.reshape(bias.shape)
+        return dq, dk, dv, dbias, None, None, None
+
+    attn.defvjp(attn_fwd, attn_bwd)
+    return attn
+
+
+def flash_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    bias: Optional[jax.Array] = None,
+    q_segment_ids: Optional[jax.Array] = None,
+    kv_segment_ids: Optional[jax.Array] = None,
+    *,
+    softmax_scale: Optional[float] = None,
+    causal: bool = False,
+    window_size: Tuple[int, int] = (-1, -1),
+    softcap: float = 0.0,
+    dropout_p: float = 0.0,
+    dropout_seed=None,
+    block_sizes: Optional[BlockSizes] = None,
+    return_lse: bool = False,
+):
+    """Kernel-layout flash attention: q (b, h, sq, d), k/v (b, hk, sk, d).
+
+    Differentiable in q, k, v, bias. Returns out (b, h, sq, d) and, when
+    ``return_lse``, the fp32 logsumexp (b, h, sq).
+    """
+    b, h, sq, d = q.shape
+    sk = k.shape[2]
+    if softmax_scale is None:
+        softmax_scale = 1.0 / math.sqrt(d)
+    static = _resolve_static(
+        softmax_scale, causal, window_size, softcap, dropout_p,
+        block_sizes, sq, sk, d,
+    )
+    if dropout_p > 0.0 and dropout_seed is None:
+        raise ValueError("dropout_p > 0 requires dropout_seed")
+    seed = None
+    if dropout_seed is not None and dropout_p > 0.0:
+        seed = jnp.asarray(dropout_seed, jnp.int32).reshape(())
+    fn = _make_attention_fn(static, return_lse)
+    return fn(q, k, v, bias, q_segment_ids, kv_segment_ids, seed)
+
+
+def _bshd_to_bhsd(x):
+    return jnp.swapaxes(x, 1, 2)
+
+
+def flash_attn_func(
+    q, k, v,
+    dropout_p: float = 0.0,
+    softmax_scale: Optional[float] = None,
+    causal: bool = False,
+    window_size: Tuple[int, int] = (-1, -1),
+    softcap: float = 0.0,
+    return_attn_probs: bool = False,
+    deterministic: bool = True,  # always deterministic on TPU; accepted for parity
+    dropout_seed=None,
+    block_sizes: Optional[BlockSizes] = None,
+):
+    """≙ reference flash_attn_func (flash_attn_interface.py:345).
+
+    q: (batch, seqlen_q, nheads, head_dim); k/v: (batch, seqlen_k, nheads_k,
+    head_dim). Returns out in the same layout; with ``return_attn_probs``
+    returns (out, softmax_lse, None) — the S_dmask debug tensor is not
+    materialized (use reference.attention_ref for prob-level checks).
+    """
+    del deterministic
+    qt, kt, vt = map(_bshd_to_bhsd, (q, k, v))
+    res = flash_attention(
+        qt, kt, vt,
+        softmax_scale=softmax_scale, causal=causal, window_size=window_size,
+        softcap=softcap, dropout_p=dropout_p, dropout_seed=dropout_seed,
+        block_sizes=block_sizes, return_lse=return_attn_probs,
+    )
+    if return_attn_probs:
+        out, lse = res
+        return _bshd_to_bhsd(out), lse, None
+    return _bshd_to_bhsd(res)
+
+
+def flash_attn_qkvpacked_func(qkv, dropout_p=0.0, softmax_scale=None,
+                              causal=False, window_size=(-1, -1), softcap=0.0,
+                              return_attn_probs=False, deterministic=True,
+                              dropout_seed=None):
+    """≙ flash_attn_qkvpacked_func: qkv (batch, seqlen, 3, nheads, head_dim)."""
+    assert qkv.ndim == 5 and qkv.shape[2] == 3, qkv.shape
+    q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+    return flash_attn_func(
+        q, k, v, dropout_p=dropout_p, softmax_scale=softmax_scale,
+        causal=causal, window_size=window_size, softcap=softcap,
+        return_attn_probs=return_attn_probs, deterministic=deterministic,
+        dropout_seed=dropout_seed,
+    )
+
+
+def flash_attn_kvpacked_func(q, kv, dropout_p=0.0, softmax_scale=None,
+                             causal=False, window_size=(-1, -1), softcap=0.0,
+                             return_attn_probs=False, deterministic=True,
+                             dropout_seed=None):
+    """≙ flash_attn_kvpacked_func: kv (batch, seqlen, 2, nheads_k, head_dim)."""
+    assert kv.ndim == 5 and kv.shape[2] == 2, kv.shape
+    k, v = kv[:, :, 0], kv[:, :, 1]
+    return flash_attn_func(
+        q, k, v, dropout_p=dropout_p, softmax_scale=softmax_scale,
+        causal=causal, window_size=window_size, softcap=softcap,
+        return_attn_probs=return_attn_probs, deterministic=deterministic,
+        dropout_seed=dropout_seed,
+    )
+
+
+def _segment_ids_from_cu_seqlens(cu_seqlens: jax.Array, total: int) -> jax.Array:
+    """seg[t] = 1 + index of the sequence containing token t (0 never used:
+    every packed token belongs to a sequence; padding after cu_seqlens[-1]
+    gets id batch+1 ... no — tokens past the last boundary get id = batch
+    count + 1 via searchsorted, which never equals a q-side id of a different
+    position only if both sides use the same cu_seqlens)."""
+    positions = jnp.arange(total, dtype=jnp.int32)
+    return jnp.searchsorted(
+        cu_seqlens.astype(jnp.int32), positions, side="right"
+    ).astype(jnp.int32)
+
+
+def flash_attn_varlen_func(
+    q, k, v,
+    cu_seqlens_q, cu_seqlens_k,
+    max_seqlen_q: int, max_seqlen_k: int,
+    dropout_p: float = 0.0,
+    softmax_scale: Optional[float] = None,
+    causal: bool = False,
+    window_size: Tuple[int, int] = (-1, -1),
+    softcap: float = 0.0,
+    return_attn_probs: bool = False,
+    deterministic: bool = True,
+    dropout_seed=None,
+):
+    """≙ flash_attn_varlen_func (flash_attn_interface.py:454).
+
+    q: (total_q, nheads, head_dim) packed; cu_seqlens_q: (batch+1,) int32.
+    On TPU varlen is packed attention with segment-id masking — the
+    cu_seqlens/BlockInfo design of the reference maps to per-token segment
+    ids (SURVEY §7 "Varlen on TPU").
+
+    Causal attention requires the *same packing* for q and k (self-attention,
+    cu_seqlens_q == cu_seqlens_k) so the block-diagonal causal mask aligns
+    per sequence; this covers the reference's training use (bert_padding).
+    """
+    del max_seqlen_q, max_seqlen_k, deterministic
+    total_q = q.shape[0]
+    total_k = k.shape[0]
+    if causal and total_q != total_k:
+        raise NotImplementedError(
+            "varlen causal currently requires identical q/k packing"
+        )
+    q_seg = _segment_ids_from_cu_seqlens(cu_seqlens_q, total_q)[None]
+    k_seg = _segment_ids_from_cu_seqlens(cu_seqlens_k, total_k)[None]
+    qt = jnp.swapaxes(q[None], 1, 2)  # (1, h, total_q, d)
+    kt = jnp.swapaxes(k[None], 1, 2)
+    vt = jnp.swapaxes(v[None], 1, 2)
+    res = flash_attention(
+        qt, kt, vt, None, q_seg, k_seg,
+        softmax_scale=softmax_scale, causal=causal, window_size=window_size,
+        softcap=softcap, dropout_p=dropout_p, dropout_seed=dropout_seed,
+        return_lse=return_attn_probs,
+    )
+    if return_attn_probs:
+        out, lse = res
+        return jnp.swapaxes(out, 1, 2)[0], lse[0], None
+    return jnp.swapaxes(res, 1, 2)[0]
+
+
+def flash_attn_varlen_qkvpacked_func(qkv, cu_seqlens, max_seqlen,
+                                     dropout_p=0.0, softmax_scale=None,
+                                     causal=False, window_size=(-1, -1),
+                                     softcap=0.0, return_attn_probs=False,
+                                     deterministic=True, dropout_seed=None):
+    """qkv: (total, 3, nheads, head_dim)."""
+    assert qkv.ndim == 4 and qkv.shape[1] == 3, qkv.shape
+    q, k, v = qkv[:, 0], qkv[:, 1], qkv[:, 2]
+    return flash_attn_varlen_func(
+        q, k, v, cu_seqlens, cu_seqlens, max_seqlen, max_seqlen,
+        dropout_p=dropout_p, softmax_scale=softmax_scale, causal=causal,
+        window_size=window_size, softcap=softcap,
+        return_attn_probs=return_attn_probs, deterministic=deterministic,
+        dropout_seed=dropout_seed,
+    )
+
+
+def flash_attn_varlen_kvpacked_func(q, kv, cu_seqlens_q, cu_seqlens_k,
+                                    max_seqlen_q, max_seqlen_k,
+                                    dropout_p=0.0, softmax_scale=None,
+                                    causal=False, window_size=(-1, -1),
+                                    softcap=0.0, return_attn_probs=False,
+                                    deterministic=True, dropout_seed=None):
+    """kv: (total_k, 2, nheads_k, head_dim)."""
+    assert kv.ndim == 4 and kv.shape[1] == 2, kv.shape
+    k, v = kv[:, 0], kv[:, 1]
+    return flash_attn_varlen_func(
+        q, k, v, cu_seqlens_q, cu_seqlens_k, max_seqlen_q, max_seqlen_k,
+        dropout_p=dropout_p, softmax_scale=softmax_scale, causal=causal,
+        window_size=window_size, softcap=softcap,
+        return_attn_probs=return_attn_probs, deterministic=deterministic,
+        dropout_seed=dropout_seed,
+    )
