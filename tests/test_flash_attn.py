@@ -248,3 +248,63 @@ def test_empty_rows_lse_inf():
     assert bool(jnp.all(out[0, 0, :64] == 0.0))
     assert bool(jnp.all(jnp.isinf(lse[0, 0, :64])))
     assert bool(jnp.all(jnp.isfinite(lse[0, 0, 64:])))
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_flash_attn_dropout(causal):
+    """Dropout correctness: reconstruct the keep mask with the same
+    position-keyed counter RNG and compare against the masked reference
+    (≙ reference convert_flash_attn_S_to_softmax dropout checks,
+    tests/test_flash_attn.py:218-301)."""
+    from xhy_flash_attention_tpu.ops.flash_attention.common import (
+        dropout_keep_mask,
+    )
+
+    b, s, h, d = 1, 256, 2, 64
+    p = 0.17
+    seed = jnp.int32(1234)
+    dtype = jnp.bfloat16
+    keys = jax.random.split(jax.random.PRNGKey(8), 4)
+    q = _rand(keys[0], (b, s, h, d), dtype)
+    k = _rand(keys[1], (b, s, h, d), dtype)
+    v = _rand(keys[2], (b, s, h, d), dtype)
+    do = _rand(keys[3], (b, s, h, d), dtype)
+
+    # reconstruct the exact keep mask the kernel generates
+    rows = jnp.arange(s, dtype=jnp.int32)[:, None]
+    cols = jnp.arange(s, dtype=jnp.int32)[None, :]
+    keep = jnp.stack(
+        [
+            jnp.stack(
+                [
+                    dropout_keep_mask(seed, jnp.int32(bi * h + hi), rows, cols, p)
+                    for hi in range(h)
+                ]
+            )
+            for bi in range(b)
+        ]
+    )  # (b, h, s, s)
+    frac = float(1.0 - keep.mean())
+    assert abs(frac - p) < 0.01, frac
+
+    f = functools.partial(
+        flash_attn_func, dropout_p=p, causal=causal, dropout_seed=seed
+    )
+    out, vjp = jax.vjp(f, q, k, v)
+    dq, dk, dv = vjp(do)
+
+    ref_f = lambda q, k, v: attention_ref(
+        q, k, v, causal=causal, dropout_p=p, dropout_mask=keep, upcast=True
+    )[0]
+    out_ref, vjp_ref = jax.vjp(ref_f, q, k, v)
+    dq_ref, dk_ref, dv_ref = vjp_ref(do)
+    lp_f = lambda q, k, v: attention_ref(
+        q, k, v, causal=causal, dropout_p=p, dropout_mask=keep,
+        upcast=False, reorder_ops=True,
+    )[0]
+    out_lp, vjp_lp = jax.vjp(lp_f, q, k, v)
+    dq_lp, dk_lp, dv_lp = vjp_lp(do)
+    check_contract(out, out_ref, out_lp, "out")
+    check_contract(dq, dq_ref, dq_lp, "dq")
+    check_contract(dk, dk_ref, dk_lp, "dk")
+    check_contract(dv, dv_ref, dv_lp, "dv")

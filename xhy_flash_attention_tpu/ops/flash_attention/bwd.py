@@ -35,7 +35,14 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .common import NEG_INF, BlockSizes, interpret_mode, pad_to_block, round_up
+from .common import (
+    NEG_INF,
+    BlockSizes,
+    dropout_keep_mask,
+    interpret_mode,
+    pad_to_block,
+    round_up,
+)
 
 MIN_LANES = 128
 
@@ -77,9 +84,10 @@ def _recompute_p_ds(
     p = jnp.exp(s - lse[:, None])  # lse=+inf on empty rows -> p=0
 
     if dropout_p > 0.0:
-        pltpu.prng_seed(*rng_block)
-        bits = pltpu.prng_random_bits((block_q, block_k))
-        keep = pltpu.bitcast(bits, jnp.uint32) >= jnp.uint32(dropout_p * (2.0**32))
+        seed, salt = rng_block
+        rows_g = q_start + jax.lax.broadcasted_iota(jnp.int32, (block_q, 1), 0)
+        cols_g = c_start + jax.lax.broadcasted_iota(jnp.int32, (1, block_k), 1)
+        keep = dropout_keep_mask(seed, salt, rows_g, cols_g, dropout_p)
         scale_d = 1.0 / (1.0 - dropout_p)
         p_dropped = jnp.where(keep, p, 0.0) * scale_d
     else:
@@ -164,7 +172,6 @@ def _bwd_dkv_kernel(refs, *, params):
             rng_block = (
                 seed_ref[0],
                 b_idx * pl.num_programs(1) + h_idx,
-                iq * params["num_kv_blocks"] + ikv,
             )
         p_dropped, ds_scaled, ds_raw = _recompute_p_ds(
             q, k_ref[0, 0], v_ref[0, 0], do, lse, delta,
@@ -281,7 +288,6 @@ def _bwd_dq_kernel(refs, *, params):
             rng_block = (
                 seed_ref[0],
                 b_idx * pl.num_programs(1) + h_idx,
-                iq * nkv + ikv,
             )
         _, ds_scaled, _ = _recompute_p_ds(
             q, k_ref[0, 0], v_ref[0, 0], do_ref[0, 0],

@@ -70,6 +70,33 @@ class BlockSizes:
         )
 
 
+def dropout_keep_mask(seed, salt, rows, cols, dropout_p: float):
+    """Counter-based keep mask (True = keep), keyed on *global* positions.
+
+    Plays the role of the reference's Philox counters (flash.h philox_args):
+    the mask for an element depends only on (seed, salt, row, col), never on
+    tile sizes or grid order, so forward and backward — with different
+    tilings — regenerate identical masks. Murmur3-style finalizer over a
+    Weyl-sequence mix; cheap VPU int ops, works compiled and interpreted.
+
+    rows: int32 (m, 1) global row ids; cols: int32 (1, n) global col ids;
+    seed: int32 scalar; salt: int32 scalar (e.g. batch*H + head).
+    """
+    u = jnp.uint32
+    x = (
+        rows.astype(jnp.uint32) * u(0x9E3779B1)
+        + cols.astype(jnp.uint32) * u(0x85EBCA77)
+        + (seed.astype(jnp.uint32) ^ (salt.astype(jnp.uint32) * u(0xC2B2AE3D)))
+    )
+    x = x ^ jax.lax.shift_right_logical(x, u(16))
+    x = x * u(0x7FEB352D)
+    x = x ^ jax.lax.shift_right_logical(x, u(15))
+    x = x * u(0x846CA68B)
+    x = x ^ jax.lax.shift_right_logical(x, u(16))
+    threshold = u(min(int(dropout_p * 4294967296.0), 4294967295))
+    return x >= threshold
+
+
 def pad_to_block(x: jax.Array, axis: int, block: int) -> jax.Array:
     """Zero-pad `axis` of x up to a multiple of `block`."""
     size = x.shape[axis]

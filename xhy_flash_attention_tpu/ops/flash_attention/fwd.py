@@ -40,6 +40,7 @@ from .common import (
     NEG_INF,
     BlockSizes,
     cdiv,
+    dropout_keep_mask,
     interpret_mode,
     pad_to_block,
 )
@@ -161,15 +162,18 @@ def _fwd_kernel(
         m_scr[...] = m_next
 
         if dropout_p > 0.0:
-            # Deterministic per-block seed: backward regenerates the same bits.
-            pltpu.prng_seed(
-                seed_ref[0],
-                b_idx * pl.num_programs(1) + h_idx,
-                iq * num_kv_blocks + ikv,
+            # Position-keyed counter RNG (≙ Philox): identical bits in bwd
+            # regardless of tiling.
+            rows_g = q_start + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, 1), 0
             )
-            bits = pltpu.prng_random_bits((block_q, block_k))
-            threshold = jnp.uint32(dropout_p * (2.0**32))
-            keep = pltpu.bitcast(bits, jnp.uint32) >= threshold
+            cols_g = c_start + jax.lax.broadcasted_iota(
+                jnp.int32, (1, block_k), 1
+            )
+            keep = dropout_keep_mask(
+                seed_ref[0], b_idx * pl.num_programs(1) + h_idx,
+                rows_g, cols_g, dropout_p,
+            )
             p_dropped = jnp.where(keep, p, 0.0) * (1.0 / (1.0 - dropout_p))
         else:
             p_dropped = p

@@ -68,13 +68,8 @@ def _resolve_static(sm_scale, causal, window_size, softcap, dropout_p,
     if block_sizes is None:
         block_sizes = BlockSizes.for_shape(sq, sk, d)
     bs = block_sizes
-    if dropout_p > 0.0:
-        # fwd/bwd must share tile shapes so the per-block PRNG streams match.
-        bq = min(bs.block_q, 128 if d > 128 else 256, round_up(sq, 128))
-        bk = min(bs.block_k, 128 if d > 128 else 256, round_up(sk, 128))
-        bs = BlockSizes(block_q=bq, block_k=bk,
-                        block_q_dkv=bq, block_k_dkv=bk,
-                        block_q_dq=bq, block_k_dq=bk)
+    # dropout uses a position-keyed counter RNG, so fwd/bwd tilings are free
+    # to differ (≙ reference Philox counters).
     return _Static(
         sm_scale=float(sm_scale), causal=bool(causal),
         window_size=(int(window_size[0]), int(window_size[1])),
