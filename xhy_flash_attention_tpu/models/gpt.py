@@ -1,0 +1,304 @@
+"""GPT model hub (≙ reference flash_attn/models/gpt.py).
+
+Config-driven factory: every decoder-only family (GPT-2, Llama, OPT, GPT-J,
+NeoX, Falcon, Mistral) is this skeleton plus a config translation and a
+weight remap (reference pattern: llama_config_to_gpt2_config, llama.py:191).
+flax.linen modules; KV caches are functional pytrees threaded through the
+call (see modules/mha.py).
+
+Always-on fusions (the reference gates these behind use_flash_attn /
+fused_mlp / fused_dropout_add_ln — here they are the only path):
+Pallas flash attention, fused dropout-add-norm, XLA-fused dense+activation.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..modules.block import Block, _Norm
+from ..modules.embedding import GPT2Embeddings
+from ..modules.mha import MHA
+from ..modules.mlp import GatedMlp, Mlp
+
+
+@dataclasses.dataclass(frozen=True)
+class GPTConfig:
+    vocab_size: int = 50257
+    hidden_size: int = 768
+    num_hidden_layers: int = 12
+    num_attention_heads: int = 12
+    num_attention_heads_kv: Optional[int] = None
+    head_dim: Optional[int] = None
+    intermediate_size: Optional[int] = None
+    max_position_embeddings: int = 1024  # 0 => rotary-only
+    activation_function: str = "gelu_approx"  # swiglu/geglu -> GatedMlp
+    rms_norm: bool = False
+    layer_norm_epsilon: float = 1e-5
+    rotary_emb_fraction: float = 0.0
+    rotary_emb_base: float = 10000.0
+    rotary_emb_interleaved: bool = False
+    window_size: Tuple[int, int] = (-1, -1)
+    attn_softcap: float = 0.0
+    embd_pdrop: float = 0.0
+    resid_pdrop: float = 0.0
+    attn_pdrop: float = 0.0
+    residual_in_fp32: bool = True
+    prenorm: bool = True
+    parallel_block: bool = False
+    tie_word_embeddings: bool = True
+    pad_vocab_size_multiple: int = 1
+    qkv_proj_bias: bool = True
+    out_proj_bias: bool = True
+    mlp_fc1_bias: bool = True
+    mlp_fc2_bias: bool = True
+    word_embed_proj_dim: Optional[int] = None
+    initializer_range: float = 0.02
+    dtype: Any = jnp.float32
+
+    @property
+    def padded_vocab_size(self) -> int:
+        m = self.pad_vocab_size_multiple
+        return (self.vocab_size + m - 1) // m * m
+
+
+def _mixer_cls(config: GPTConfig):
+    rotary_dim = 0
+    if config.rotary_emb_fraction > 0:
+        hd = config.head_dim or config.hidden_size // config.num_attention_heads
+        rotary_dim = int(hd * config.rotary_emb_fraction)
+    return functools.partial(
+        MHA,
+        embed_dim=config.hidden_size,
+        num_heads=config.num_attention_heads,
+        num_heads_kv=config.num_attention_heads_kv,
+        head_dim=config.head_dim,
+        qkv_proj_bias=config.qkv_proj_bias,
+        out_proj_bias=config.out_proj_bias,
+        dropout=config.attn_pdrop,
+        causal=True,
+        window_size=config.window_size,
+        softcap=config.attn_softcap,
+        rotary_emb_dim=rotary_dim,
+        rotary_emb_base=config.rotary_emb_base,
+        rotary_emb_interleaved=config.rotary_emb_interleaved,
+        dtype=config.dtype,
+    )
+
+
+def _mlp_cls(config: GPTConfig):
+    inner = config.intermediate_size or 4 * config.hidden_size
+    if config.activation_function in ("swiglu", "geglu"):
+        return functools.partial(
+            GatedMlp,
+            hidden_features=inner,
+            activation="silu" if config.activation_function == "swiglu" else "gelu_approx",
+            bias1=config.mlp_fc1_bias,
+            bias2=config.mlp_fc2_bias,
+            dtype=config.dtype,
+        )
+    return functools.partial(
+        Mlp,
+        hidden_features=inner,
+        activation=config.activation_function,
+        bias1=config.mlp_fc1_bias,
+        bias2=config.mlp_fc2_bias,
+        dtype=config.dtype,
+    )
+
+
+class GPTModel(nn.Module):
+    config: GPTConfig
+    shared_embed: Optional[nn.Module] = None  # tied word embedding table
+
+    @nn.compact
+    def __call__(self, input_ids, position_ids=None, *, kv_caches=None,
+                 seqlen_offset=0, deterministic=True, segment_ids=None,
+                 dropout_seeds=None):
+        """Returns (hidden_states, new_kv_caches)."""
+        c = self.config
+        x = GPT2Embeddings(
+            embed_dim=c.hidden_size,
+            vocab_size=c.padded_vocab_size,
+            max_position_embeddings=c.max_position_embeddings,
+            word_embed_proj_dim=c.word_embed_proj_dim,
+            word_embed=self.shared_embed,
+            dtype=c.dtype,
+            name="embeddings",
+        )(input_ids, position_ids, seqlen_offset=seqlen_offset)
+        # embedding dropout (reference emb_drop, gpt.py:359-366)
+        if not deterministic and c.embd_pdrop > 0.0:
+            x = x * jax.random.bernoulli(
+                self.make_rng("dropout"), 1.0 - c.embd_pdrop, x.shape
+            ).astype(x.dtype) / (1.0 - c.embd_pdrop)
+
+        residual = None
+        hidden = x
+        new_caches = [] if kv_caches is not None else None
+        mixer = _mixer_cls(c)
+        mlp = _mlp_cls(c)
+        for i in range(c.num_hidden_layers):
+            cache_i = kv_caches[i] if kv_caches is not None else None
+            hidden, residual, new_cache = Block(
+                dim=c.hidden_size,
+                mixer=mixer,
+                mlp=mlp,
+                norm_eps=c.layer_norm_epsilon,
+                rms_norm=c.rms_norm,
+                prenorm=c.prenorm,
+                resid_dropout1=c.embd_pdrop if i == 0 else c.resid_pdrop,
+                resid_dropout2=c.resid_pdrop,
+                residual_in_fp32=c.residual_in_fp32,
+                parallel_block=c.parallel_block,
+                name=f"layers_{i}",
+            )(
+                hidden, residual, deterministic=deterministic,
+                kv_cache=cache_i, seqlen_offset=seqlen_offset,
+                q_segment_ids=segment_ids, kv_segment_ids=segment_ids,
+            )
+            if new_caches is not None:
+                new_caches.append(new_cache)
+        # final fused norm over (hidden, residual) (reference gpt.py:399-415)
+        normf = _Norm(rms=c.rms_norm, eps=c.layer_norm_epsilon, name="norm_f")
+        drop_f = 0.0 if deterministic else c.resid_pdrop
+        hidden = normf(hidden, residual, drop_f, False, c.residual_in_fp32)
+        return hidden, new_caches
+
+
+class GPTLMHeadModel(nn.Module):
+    config: GPTConfig
+
+    def setup(self):
+        c = self.config
+        if c.tie_word_embeddings:
+            # shared table: used by the embedding layer and attended by the
+            # head (≙ reference tie_weights, gpt.py:441-457)
+            self.wte = nn.Embed(
+                c.padded_vocab_size, c.hidden_size, dtype=c.dtype,
+                embedding_init=nn.initializers.normal(
+                    stddev=c.initializer_range
+                ),
+                name="wte",
+            )
+            self.transformer = GPTModel(c, shared_embed=self.wte,
+                                        name="transformer")
+        else:
+            self.transformer = GPTModel(c, name="transformer")
+            self.lm_head = nn.Dense(
+                c.padded_vocab_size, use_bias=False, dtype=c.dtype,
+                kernel_init=nn.initializers.normal(
+                    stddev=c.initializer_range
+                ),
+                name="lm_head",
+            )
+
+    def __call__(self, input_ids, position_ids=None, *, kv_caches=None,
+                 seqlen_offset=0, deterministic=True, segment_ids=None):
+        hidden, new_caches = self.transformer(
+            input_ids, position_ids, kv_caches=kv_caches,
+            seqlen_offset=seqlen_offset, deterministic=deterministic,
+            segment_ids=segment_ids,
+        )
+        if self.config.tie_word_embeddings:
+            logits = self.wte.attend(hidden)
+        else:
+            logits = self.lm_head(hidden)
+        return logits, new_caches
+
+    def allocate_kv_caches(self, batch_size: int, max_seqlen: int,
+                           dtype=None):
+        """Per-layer (k, v) caches (≙ allocate_inference_cache, gpt.py)."""
+        c = self.config
+        hk = c.num_attention_heads_kv or c.num_attention_heads
+        d = c.head_dim or c.hidden_size // c.num_attention_heads
+        dtype = dtype or c.dtype
+        return [
+            (
+                jnp.zeros((batch_size, max_seqlen, hk, d), dtype),
+                jnp.zeros((batch_size, max_seqlen, hk, d), dtype),
+            )
+            for _ in range(c.num_hidden_layers)
+        ]
+
+
+# ---------------------------------------------------------------------------
+# HF GPT-2 remap (≙ reference remap_state_dict_hf_gpt2 / gpt2_config handling)
+# ---------------------------------------------------------------------------
+
+def gpt2_config_to_gpt_config(hf_config, dtype=jnp.float32) -> GPTConfig:
+    """Translate a transformers GPT2Config (≙ reference uses GPT2Config
+    directly; we normalize into GPTConfig)."""
+    g = hf_config
+    return GPTConfig(
+        vocab_size=g.vocab_size,
+        hidden_size=g.n_embd,
+        num_hidden_layers=g.n_layer,
+        num_attention_heads=g.n_head,
+        intermediate_size=g.n_inner if g.n_inner is not None else 4 * g.n_embd,
+        max_position_embeddings=g.n_positions,
+        activation_function="gelu_approx",
+        layer_norm_epsilon=g.layer_norm_epsilon,
+        embd_pdrop=g.embd_pdrop,
+        resid_pdrop=g.resid_pdrop,
+        attn_pdrop=g.attn_pdrop,
+        tie_word_embeddings=True,
+        dtype=dtype,
+    )
+
+
+def remap_state_dict_hf_gpt2(state_dict, config: GPTConfig):
+    """torch GPT2LMHeadModel state_dict (numpy values) -> flax params.
+
+    HF Conv1D stores weight as (in, out) — already flax kernel layout.
+    """
+    import numpy as np
+
+    def g(name):
+        return jnp.asarray(np.asarray(state_dict[name]))
+
+    V = config.padded_vocab_size
+    wte = np.asarray(state_dict["transformer.wte.weight"])
+    if wte.shape[0] < V:
+        wte = np.concatenate(
+            [wte, np.zeros((V - wte.shape[0], wte.shape[1]), wte.dtype)]
+        )
+    params = {
+        "wte": {"embedding": jnp.asarray(wte)},
+        "transformer": {
+            "embeddings": {
+                "position_embeddings": {
+                    "embedding": g("transformer.wpe.weight")
+                }
+            },
+            "norm_f": {
+                "weight": g("transformer.ln_f.weight"),
+                "bias": g("transformer.ln_f.bias"),
+            },
+        },
+    }
+    for i in range(config.num_hidden_layers):
+        p = f"transformer.h.{i}."
+        params["transformer"][f"layers_{i}"] = {
+            "norm1": {"weight": g(p + "ln_1.weight"),
+                      "bias": g(p + "ln_1.bias")},
+            "norm2": {"weight": g(p + "ln_2.weight"),
+                      "bias": g(p + "ln_2.bias")},
+            "mixer": {
+                "Wqkv": {"kernel": g(p + "attn.c_attn.weight"),
+                         "bias": g(p + "attn.c_attn.bias")},
+                "out_proj": {"kernel": g(p + "attn.c_proj.weight"),
+                             "bias": g(p + "attn.c_proj.bias")},
+            },
+            "mlp": {
+                "fc1": {"kernel": g(p + "mlp.c_fc.weight"),
+                        "bias": g(p + "mlp.c_fc.bias")},
+                "fc2": {"kernel": g(p + "mlp.c_proj.weight"),
+                        "bias": g(p + "mlp.c_proj.bias")},
+            },
+        }
+    return {"params": params}

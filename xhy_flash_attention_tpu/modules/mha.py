@@ -1,0 +1,183 @@
+"""Multi-head attention module (≙ reference flash_attn/modules/mha.py:343).
+
+flax.linen re-design: the torch ``MHA``'s in-place KV-cache mutation
+(`_update_kv_cache`, mha.py:255-306) becomes a functional cache — the module
+takes this layer's (k_cache, v_cache, offset) and returns the updated arrays;
+the generation loop threads them through jit. Tensor parallelism is *not* a
+separate module (reference ParallelMHA, mha.py:564): the same module runs
+under pjit/GSPMD with the Wqkv kernel sharded column-wise and out_proj
+row-wise — see parallel/tp.py for the PartitionSpec rules; head-count
+divisibility is the only requirement.
+
+Decode fast path (≙ ft_attention single_query_attention, K14): when the
+query is a single step, attention runs against the cache with
+length-masking; rotary is applied at the cache offset.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..layers.rotary import RotaryEmbedding
+from ..ops.flash_attention import flash_attention
+from ..ops.decode import decode_attention
+
+
+class MHA(nn.Module):
+    embed_dim: int
+    num_heads: int
+    num_heads_kv: Optional[int] = None
+    head_dim: Optional[int] = None
+    cross_attn: bool = False
+    qkv_proj_bias: bool = True
+    out_proj_bias: bool = True
+    dropout: float = 0.0
+    softmax_scale: Optional[float] = None
+    causal: bool = False
+    window_size: Tuple[int, int] = (-1, -1)
+    softcap: float = 0.0
+    rotary_emb_dim: int = 0
+    rotary_emb_base: float = 10000.0
+    rotary_emb_scale_base: Optional[float] = None
+    rotary_emb_interleaved: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        h = self.num_heads
+        hk = self.num_heads_kv if self.num_heads_kv is not None else h
+        assert h % hk == 0
+        d = self.head_dim if self.head_dim is not None else self.embed_dim // h
+        self._h, self._hk, self._d = h, hk, d
+        init = nn.initializers.normal(stddev=0.02)
+        if not self.cross_attn:
+            self.Wqkv = nn.Dense(
+                (h + 2 * hk) * d, use_bias=self.qkv_proj_bias,
+                dtype=self.dtype, kernel_init=init, name="Wqkv",
+            )
+        else:
+            self.Wq = nn.Dense(h * d, use_bias=self.qkv_proj_bias,
+                               dtype=self.dtype, kernel_init=init, name="Wq")
+            self.Wkv = nn.Dense(2 * hk * d, use_bias=self.qkv_proj_bias,
+                                dtype=self.dtype, kernel_init=init, name="Wkv")
+        self.out_proj = nn.Dense(
+            self.embed_dim, use_bias=self.out_proj_bias, dtype=self.dtype,
+            kernel_init=init, name="out_proj",
+        )
+        if self.rotary_emb_dim > 0:
+            self.rotary = RotaryEmbedding(
+                self.rotary_emb_dim, base=self.rotary_emb_base,
+                interleaved=self.rotary_emb_interleaved,
+                scale_base=self.rotary_emb_scale_base,
+            )
+
+    def __call__(
+        self,
+        x: jax.Array,
+        x_kv: Optional[jax.Array] = None,
+        *,
+        q_segment_ids: Optional[jax.Array] = None,
+        kv_segment_ids: Optional[jax.Array] = None,
+        kv_cache: Optional[Tuple[jax.Array, jax.Array]] = None,
+        seqlen_offset=0,
+        deterministic: bool = True,
+        dropout_seed=None,
+    ):
+        """x: (batch, seqlen, embed_dim). Returns (out, new_kv_cache).
+
+        kv_cache: (k_cache, v_cache) each (batch, max_seqlen, hk, d); when
+        given, new K/V are written at seqlen_offset and attention runs
+        against the valid prefix (prompt-vs-decode switch ≙ mha.py:497-515).
+        """
+        b, sq, _ = x.shape
+        h, hk, d = self._h, self._hk, self._d
+        if not self.cross_attn:
+            qkv = self.Wqkv(x)
+            q = qkv[..., : h * d].reshape(b, sq, h, d)
+            k = qkv[..., h * d : (h + hk) * d].reshape(b, sq, hk, d)
+            v = qkv[..., (h + hk) * d :].reshape(b, sq, hk, d)
+        else:
+            q = self.Wq(x).reshape(b, sq, h, d)
+            kv_in = x_kv if x_kv is not None else x
+            kv = self.Wkv(kv_in).reshape(b, -1, 2, hk, d)
+            k, v = kv[:, :, 0], kv[:, :, 1]
+
+        if self.rotary_emb_dim > 0:
+            cos, sin, cos_k, sin_k = self.rotary.cos_sin(
+                sq, q.dtype,
+                offset=seqlen_offset if isinstance(seqlen_offset, int) else 0,
+            )
+            if not isinstance(seqlen_offset, int):
+                # traced offset (decode): rebuild at absolute positions
+                cos_full, sin_full, _, _ = self.rotary.cos_sin(
+                    sq + kv_cache[0].shape[1] if kv_cache is not None else sq,
+                    q.dtype,
+                )
+                idx = seqlen_offset + jnp.arange(sq)
+                cos = jnp.take(cos_full, idx, axis=0)
+                sin = jnp.take(sin_full, idx, axis=0)
+            from ..layers.rotary import apply_rotary_emb
+            q = apply_rotary_emb(q, cos, sin, self.rotary_emb_interleaved)
+            k = apply_rotary_emb(k, cos, sin, self.rotary_emb_interleaved)
+
+        dropout_p = 0.0 if deterministic else self.dropout
+        if dropout_p > 0.0 and dropout_seed is None:
+            dropout_seed = jax.random.randint(
+                self.make_rng("dropout"), (), 0, 2**31 - 1
+            )
+
+        new_cache = None
+        if kv_cache is not None:
+            k_cache, v_cache = kv_cache
+            k_cache = jax.lax.dynamic_update_slice(
+                k_cache, k.astype(k_cache.dtype), (0, _as_idx(seqlen_offset), 0, 0)
+            )
+            v_cache = jax.lax.dynamic_update_slice(
+                v_cache, v.astype(v_cache.dtype), (0, _as_idx(seqlen_offset), 0, 0)
+            )
+            new_cache = (k_cache, v_cache)
+            length = _as_idx(seqlen_offset) + sq
+            if isinstance(seqlen_offset, int) and seqlen_offset == 0:
+                # prefill: attend over the just-written prefix, standard causal
+                k_use = k_cache[:, :sq].astype(q.dtype)
+                v_use = v_cache[:, :sq].astype(q.dtype)
+                out = self._attend(q, k_use, v_use, dropout_p, dropout_seed,
+                                   q_segment_ids, kv_segment_ids)
+            else:
+                # decode: length-masked attention against the full cache
+                out = decode_attention(
+                    q, k_cache, v_cache,
+                    lengths=jnp.full((b,), length, jnp.int32)
+                    if jnp.ndim(length) == 0 else length,
+                    softmax_scale=self.softmax_scale or d ** -0.5,
+                    window_size=self.window_size,
+                    softcap=self.softcap,
+                )
+        else:
+            out = self._attend(q, k, v, dropout_p, dropout_seed,
+                               q_segment_ids, kv_segment_ids)
+        out = self.out_proj(out.reshape(b, sq, h * d))
+        return out, new_cache
+
+    def _attend(self, q, k, v, dropout_p, dropout_seed, q_seg, kv_seg):
+        b, sq, h, d = q.shape
+        qt = jnp.swapaxes(q, 1, 2)
+        kt = jnp.swapaxes(k, 1, 2)
+        vt = jnp.swapaxes(v, 1, 2)
+        out = flash_attention(
+            qt, kt, vt, None, q_seg, kv_seg,
+            softmax_scale=self.softmax_scale,
+            causal=self.causal,
+            window_size=self.window_size,
+            softcap=self.softcap,
+            dropout_p=dropout_p,
+            dropout_seed=dropout_seed,
+        )
+        return jnp.swapaxes(out, 1, 2)
+
+
+def _as_idx(x):
+    return x if isinstance(x, int) else x.astype(jnp.int32)

@@ -1,0 +1,160 @@
+"""Flash-decode: single/few-token queries against a long KV cache.
+
+≙ reference ft_attention masked multi-head attention (K14) + the FA3 decode
+machinery (K7): GQA packing and split-KV.
+
+TPU design:
+  * **PackGQA** (≙ csrc/flash_attn_v3/pack_gqa.h): with MQA/GQA the per-KV-head
+    query count is g = h/hk; a single decode token would feed the MXU only one
+    row. We fold (seq, group) into the row dimension — q becomes
+    (b, hk, sq*g, d) — so each matmul has sq*g rows per KV head.
+  * grid (batch, kv_head, kv_block); the kv axis is sequential with online
+    softmax in VMEM scratch, and **blocks past the sample's length are
+    skipped** via pl.when + index-map clamping driven by the scalar-prefetched
+    `lengths` (≙ FA3 seqused_k + tile-scheduler early exit).
+  * no dropout, no backward (inference only) — matching the reference decode
+    kernels.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .common import NEG_INF, interpret_mode, round_up
+
+MIN_LANES = 128
+
+
+def _decode_kernel(lens_ref, q_ref, k_ref, v_ref, o_ref,
+                   m_scr, l_scr, acc_scr, *,
+                   sm_scale, softcap, block_k, sq, g, rows_p,
+                   window_left, num_kv_blocks):
+    b_idx = pl.program_id(0)
+    ikv = pl.program_id(2)
+
+    @pl.when(ikv == 0)
+    def _init():
+        m_scr[...] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    length = lens_ref[b_idx]
+    c_start = ikv * block_k
+
+    @pl.when(c_start < length)
+    def _run():
+        q = q_ref[0, 0]                      # (rows_p, d)
+        k = k_ref[0, :, 0, :]                # (block_k, d)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        s *= sm_scale
+        if softcap > 0.0:
+            s = jnp.tanh(s / softcap) * softcap
+        rows = jax.lax.broadcasted_iota(jnp.int32, (rows_p, block_k), 0)
+        cols = c_start + jax.lax.broadcasted_iota(
+            jnp.int32, (rows_p, block_k), 1
+        )
+        # row r = si*g + gi holds query step si at absolute position
+        # length - sq + si
+        pos = length - sq + rows // g
+        mask = cols <= pos
+        if window_left >= 0:
+            mask = jnp.logical_and(mask, cols >= pos - window_left)
+        s = jnp.where(mask, s, NEG_INF)
+
+        m_prev = m_scr[...]
+        l_prev = l_scr[...]
+        m_curr = jnp.max(s, axis=-1, keepdims=True)
+        m_next = jnp.maximum(m_prev, m_curr)
+        alpha = jnp.exp(m_prev - m_next)
+        p = jnp.exp(s - jnp.maximum(m_next[:, :1], 0.5 * NEG_INF))
+        l_scr[...] = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
+        m_scr[...] = m_next
+        v = v_ref[0, :, 0, :]
+        pv = jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc_scr[...] = acc_scr[...] * alpha[:, :1] + pv
+
+    @pl.when(ikv == num_kv_blocks - 1)
+    def _finish():
+        l = l_scr[:, :1]
+        l_inv = jnp.where(l == 0.0, 0.0, 1.0 / l)
+        o_ref[0, 0] = (acc_scr[...] * l_inv).astype(o_ref.dtype)
+
+
+def flash_decode(
+    q: jax.Array,
+    k_cache: jax.Array,
+    v_cache: jax.Array,
+    lengths: jax.Array,
+    *,
+    softmax_scale: float,
+    window_size: Tuple[int, int] = (-1, -1),
+    softcap: float = 0.0,
+    block_k: int = 512,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """q: (b, sq, h, d); k/v_cache: (b, S, hk, d); lengths: (b,) int32
+    valid length including the sq new tokens. Returns (b, sq, h, d)."""
+    b, sq, h, d = q.shape
+    S, hk = k_cache.shape[1], k_cache.shape[2]
+    g = h // hk
+    rows = sq * g
+    rows_p = max(8, rows)
+    # pack: (b, sq, hk, g, d) -> (b, hk, sq*g, d)
+    qr = q.reshape(b, sq, hk, g, d).transpose(0, 2, 1, 3, 4).reshape(
+        b, hk, rows, d
+    )
+    if rows_p != rows:
+        qr = jnp.pad(qr, ((0, 0), (0, 0), (0, rows_p - rows), (0, 0)))
+    Sp = round_up(S, block_k)
+    if Sp != S:
+        k_cache = jnp.pad(k_cache, ((0, 0), (0, Sp - S), (0, 0), (0, 0)))
+        v_cache = jnp.pad(v_cache, ((0, 0), (0, Sp - S), (0, 0), (0, 0)))
+    nkv = Sp // block_k
+
+    def kv_index(b_, h_, ikv, lens_ref):
+        hi = jnp.maximum((lens_ref[b_] - 1) // block_k, 0)
+        return (b_, jnp.minimum(ikv, hi), h_, 0)
+
+    out = pl.pallas_call(
+        functools.partial(
+            _decode_kernel,
+            sm_scale=softmax_scale, softcap=softcap, block_k=block_k,
+            sq=sq, g=g, rows_p=rows_p, window_left=window_size[0],
+            num_kv_blocks=nkv,
+        ),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(b, hk, nkv),
+            in_specs=[
+                pl.BlockSpec((1, 1, rows_p, d), lambda b_, h_, ikv, *_: (b_, h_, 0, 0)),
+                pl.BlockSpec((1, block_k, 1, d), kv_index),
+                pl.BlockSpec((1, block_k, 1, d), kv_index),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, 1, rows_p, d), lambda b_, h_, ikv, *_: (b_, h_, 0, 0)
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((rows_p, MIN_LANES), jnp.float32),
+                pltpu.VMEM((rows_p, MIN_LANES), jnp.float32),
+                pltpu.VMEM((rows_p, d), jnp.float32),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, hk, rows_p, d), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret_mode() if interpret is None else interpret,
+    )(jnp.asarray(lengths, jnp.int32), qr, k_cache, v_cache)
+    out = out[:, :, :rows].reshape(b, hk, sq, g, d).transpose(0, 2, 1, 3, 4)
+    return out.reshape(b, sq, h, d)
