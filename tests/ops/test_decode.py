@@ -21,8 +21,8 @@ def test_flash_decode_matches_xla(sq, g):
     h = hk * g
     keys = jax.random.split(jax.random.PRNGKey(0), 3)
     q = jax.random.normal(keys[0], (b, sq, h, d), jnp.float32)
-    kc = jax.random.normal(keys[1], (b, S, hk, d), jnp.float32)
-    vc = jax.random.normal(keys[2], (b, S, hk, d), jnp.float32)
+    kc = jax.random.normal(keys[1], (b, hk, S, d), jnp.float32)
+    vc = jax.random.normal(keys[2], (b, hk, S, d), jnp.float32)
     lengths = jnp.asarray([700, 123 + sq], jnp.int32)
     scale = d ** -0.5
     out_k = flash_decode(q, kc, vc, lengths, softmax_scale=scale, block_k=256)
@@ -40,14 +40,16 @@ def test_decode_matches_full_attention():
     k_full = jax.random.normal(keys[1], (b, s, h, d), jnp.float32)
     v_full = jax.random.normal(keys[2], (b, s, h, d), jnp.float32)
     ref, _ = attention_ref(q_full, k_full, v_full, causal=True, upcast=True)
+    kvt = jnp.swapaxes(k_full, 1, 2)
+    vvt = jnp.swapaxes(v_full, 1, 2)
     out = decode_attention(
-        q_full[:, -1:], k_full, v_full,
+        q_full[:, -1:], kvt, vvt,
         lengths=jnp.asarray([s], jnp.int32),
         softmax_scale=d ** -0.5, use_kernel=False,
     )
     assert jnp.allclose(out[:, 0], ref[:, -1], atol=1e-5)
     out_k = decode_attention(
-        q_full[:, -1:], k_full, v_full,
+        q_full[:, -1:], kvt, vvt,
         lengths=jnp.asarray([s], jnp.int32),
         softmax_scale=d ** -0.5, use_kernel=True,
     )
@@ -59,8 +61,8 @@ def test_decode_sliding_window():
     w = 100
     keys = jax.random.split(jax.random.PRNGKey(2), 3)
     q = jax.random.normal(keys[0], (b, 1, h, d), jnp.float32)
-    kc = jax.random.normal(keys[1], (b, s, h, d), jnp.float32)
-    vc = jax.random.normal(keys[2], (b, s, h, d), jnp.float32)
+    kc = jax.random.normal(keys[1], (b, h, s, d), jnp.float32)
+    vc = jax.random.normal(keys[2], (b, h, s, d), jnp.float32)
     lengths = jnp.asarray([400], jnp.int32)
     out_k = flash_decode(q, kc, vc, lengths, softmax_scale=d**-0.5,
                          window_size=(w, 0), block_k=128)

@@ -219,8 +219,8 @@ class GPTLMHeadModel(nn.Module):
         dtype = dtype or c.dtype
         return [
             (
-                jnp.zeros((batch_size, max_seqlen, hk, d), dtype),
-                jnp.zeros((batch_size, max_seqlen, hk, d), dtype),
+                jnp.zeros((batch_size, hk, max_seqlen, d), dtype),
+                jnp.zeros((batch_size, hk, max_seqlen, d), dtype),
             )
             for _ in range(c.num_hidden_layers)
         ]

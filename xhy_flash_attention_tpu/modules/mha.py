@@ -88,9 +88,11 @@ class MHA(nn.Module):
     ):
         """x: (batch, seqlen, embed_dim). Returns (out, new_kv_cache).
 
-        kv_cache: (k_cache, v_cache) each (batch, max_seqlen, hk, d); when
-        given, new K/V are written at seqlen_offset and attention runs
-        against the valid prefix (prompt-vs-decode switch ≙ mha.py:497-515).
+        kv_cache: (k_cache, v_cache) each (batch, hk, max_seqlen, d) — the
+        head-major layout feeds the decode kernel contiguous (seq, d) tiles
+        (≙ the FT packed cache layout idea, reference mha.py:414-428); new
+        K/V are written at seqlen_offset and attention runs against the
+        valid prefix (prompt-vs-decode switch ≙ mha.py:497-515).
         """
         b, sq, _ = x.shape
         h, hk, d = self._h, self._hk, self._d
@@ -113,7 +115,7 @@ class MHA(nn.Module):
             if not isinstance(seqlen_offset, int):
                 # traced offset (decode): rebuild at absolute positions
                 cos_full, sin_full, _, _ = self.rotary.cos_sin(
-                    sq + kv_cache[0].shape[1] if kv_cache is not None else sq,
+                    kv_cache[0].shape[2] if kv_cache is not None else sq,
                     q.dtype,
                 )
                 idx = seqlen_offset + jnp.arange(sq)
@@ -133,18 +135,18 @@ class MHA(nn.Module):
         if kv_cache is not None:
             k_cache, v_cache = kv_cache
             k_cache = jax.lax.dynamic_update_slice(
-                k_cache, k.astype(k_cache.dtype), (0, _as_idx(seqlen_offset), 0, 0)
+                k_cache, jnp.swapaxes(k, 1, 2).astype(k_cache.dtype),
+                (0, 0, _as_idx(seqlen_offset), 0),
             )
             v_cache = jax.lax.dynamic_update_slice(
-                v_cache, v.astype(v_cache.dtype), (0, _as_idx(seqlen_offset), 0, 0)
+                v_cache, jnp.swapaxes(v, 1, 2).astype(v_cache.dtype),
+                (0, 0, _as_idx(seqlen_offset), 0),
             )
             new_cache = (k_cache, v_cache)
             length = _as_idx(seqlen_offset) + sq
             if isinstance(seqlen_offset, int) and seqlen_offset == 0:
-                # prefill: attend over the just-written prefix, standard causal
-                k_use = k_cache[:, :sq].astype(q.dtype)
-                v_use = v_cache[:, :sq].astype(q.dtype)
-                out = self._attend(q, k_use, v_use, dropout_p, dropout_seed,
+                # prefill: attend the freshly projected K/V, standard causal
+                out = self._attend(q, k, v, dropout_p, dropout_seed,
                                    q_segment_ids, kv_segment_ids)
             else:
                 # decode: length-masked attention against the full cache

@@ -26,14 +26,13 @@ __all__ = ["decode_attention"]
 def _decode_attention_xla(q, k_cache, v_cache, lengths, softmax_scale,
                           window_size=(-1, -1), softcap: float = 0.0):
     b, sq, h, d = q.shape
-    S = k_cache.shape[1]
-    hk = k_cache.shape[2]
+    hk, S = k_cache.shape[1], k_cache.shape[2]
     g = h // hk
     qf = q.astype(jnp.float32)
-    kf = k_cache.astype(jnp.float32)
+    kf = k_cache.astype(jnp.float32)  # (b, hk, S, d)
     vf = v_cache.astype(jnp.float32)
     qf = qf.reshape(b, sq, hk, g, d)
-    s = jnp.einsum("bshgd,bthd->bhgst", qf, kf) * softmax_scale
+    s = jnp.einsum("bshgd,bhtd->bhgst", qf, kf) * softmax_scale
     if softcap > 0.0:
         s = jnp.tanh(s / softcap) * softcap
     cols = jnp.arange(S, dtype=jnp.int32)
@@ -49,21 +48,21 @@ def _decode_attention_xla(q, k_cache, v_cache, lengths, softmax_scale,
     p = jnp.exp(s - jnp.maximum(m, 0.5 * NEG_INF))
     l = jnp.sum(p, axis=-1, keepdims=True)
     p = p / jnp.maximum(l, 1e-37)
-    out = jnp.einsum("bhgst,bthd->bshgd", p, vf)
+    out = jnp.einsum("bhgst,bhtd->bshgd", p, vf)
     return out.reshape(b, sq, h, d).astype(q.dtype)
 
 
 def decode_attention(q, k_cache, v_cache, lengths, softmax_scale,
                      window_size=(-1, -1), softcap: float = 0.0,
                      use_kernel: Optional[bool] = None):
-    """q: (b, sq, h, d) new queries; k/v_cache: (b, max_s, hk, d);
+    """q: (b, sq, h, d) new queries; k/v_cache: (b, hk, max_s, d);
     lengths: (b,) valid cache length *including* the new tokens.
 
     Row r of the query attends cache positions <= lengths - sq + r
     (the new keys must already be written into the cache).
     """
     if use_kernel is None:
-        use_kernel = k_cache.shape[1] >= 1024
+        use_kernel = k_cache.shape[2] >= 1024
     if use_kernel:
         from .flash_attention.decode_kernel import flash_decode
         return flash_decode(

@@ -79,9 +79,9 @@ def _recompute_p_ds(
             mask = jnp.logical_and(mask, cols >= rows + offset - window[0])
         s = jnp.where(mask, s, NEG_INF)
     if qseg is not None:
-        s = jnp.where(qseg[:, None] == kseg[None, :], s, NEG_INF)
+        s = jnp.where(qseg == kseg, s, NEG_INF)  # (bq,1) vs (1,bk)
 
-    p = jnp.exp(s - lse[:, None])  # lse=+inf on empty rows -> p=0
+    p = jnp.exp(s - lse)  # lse (bq,1); +inf on empty rows -> p=0
 
     if dropout_p > 0.0:
         seed, salt = rng_block
@@ -98,7 +98,7 @@ def _recompute_p_ds(
     )
     if dropout_p > 0.0:
         dp = jnp.where(keep, dp, 0.0) * scale_d
-    ds_raw = p * (dp - delta[:, None])  # == dbias (bias enters post-softcap)
+    ds_raw = p * (dp - delta)  # (bq,1) delta; == dbias (bias enters post-softcap)
     ds = ds_raw
     if softcap > 0.0:
         ds = ds * (1.0 - t * t)
@@ -165,8 +165,8 @@ def _bwd_dkv_kernel(refs, *, params):
     def body(apply_position_mask):
         q = q_ref[0, 0]
         do = do_ref[0, 0]
-        lse = lse_ref[0, 0]
-        delta = delta_ref[0, 0]
+        lse = lse_ref[0, 0][:, :1]
+        delta = delta_ref[0, 0][:, :1]
         rng_block = None
         if params["dropout_p"] > 0.0:
             rng_block = (
@@ -291,7 +291,7 @@ def _bwd_dq_kernel(refs, *, params):
             )
         _, ds_scaled, _ = _recompute_p_ds(
             q, k_ref[0, 0], v_ref[0, 0], do_ref[0, 0],
-            lse_ref[0, 0], delta_ref[0, 0],
+            lse_ref[0, 0][:, :1], delta_ref[0, 0][:, :1],
             bias_ref[0, 0] if bias_ref is not None else None,
             qseg_ref[0] if qseg_ref is not None else None,
             kseg_ref[0] if kseg_ref is not None else None,
@@ -382,16 +382,21 @@ def flash_attention_bwd(
         kp = pad_to_block(k, 2, bk)
         vp = pad_to_block(v, 2, bk)
         dop = pad_to_block(do, 2, bq)
-        lsep = pad_to_block(lse, 2, bq)
-        deltap = pad_to_block(delta, 2, bq)
+        # lane-replicated x8 stats (Mosaic block rule)
+        lsep = pad_to_block(
+            jnp.broadcast_to(lse[..., None], lse.shape + (8,)), 2, bq
+        )
+        deltap = pad_to_block(
+            jnp.broadcast_to(delta[..., None], delta.shape + (8,)), 2, bq
+        )
         inputs = [qp, kp, vp, dop, lsep, deltap]
         specs = [
             pl.BlockSpec((1, 1, bq, d), lambda b_, h_, i, j, *_: (b_, h_, q_index(i, j), 0)),
             pl.BlockSpec((1, 1, bk, d), lambda b_, h_, i, j, *_: (b_, h_ // g, kv_index(i, j), 0)),
             pl.BlockSpec((1, 1, bk, d), lambda b_, h_, i, j, *_: (b_, h_ // g, kv_index(i, j), 0)),
             pl.BlockSpec((1, 1, bq, d), lambda b_, h_, i, j, *_: (b_, h_, q_index(i, j), 0)),
-            pl.BlockSpec((1, 1, bq), lambda b_, h_, i, j, *_: (b_, h_, q_index(i, j))),
-            pl.BlockSpec((1, 1, bq), lambda b_, h_, i, j, *_: (b_, h_, q_index(i, j))),
+            pl.BlockSpec((1, 1, bq, 8), lambda b_, h_, i, j, *_: (b_, h_, q_index(i, j), 0)),
+            pl.BlockSpec((1, 1, bq, 8), lambda b_, h_, i, j, *_: (b_, h_, q_index(i, j), 0)),
         ]
         if has_bias:
             bp = pad_to_block(pad_to_block(bias, 3, bk), 2, bq)
@@ -407,10 +412,18 @@ def flash_attention_bwd(
             )
             inputs.append(bp)
         if has_segments:
-            qsegp = pad_to_block(q_segment_ids.astype(jnp.int32), 1, bq)
-            ksegp = pad_to_block(kv_segment_ids.astype(jnp.int32), 1, bk)
-            specs.append(pl.BlockSpec((1, bq), lambda b_, h_, i, j, *_: (b_, q_index(i, j))))
-            specs.append(pl.BlockSpec((1, bk), lambda b_, h_, i, j, *_: (b_, kv_index(i, j))))
+            qsegp = pad_to_block(
+                q_segment_ids.astype(jnp.int32), 1, bq
+            )[:, :, None]
+            ksegp = pad_to_block(
+                kv_segment_ids.astype(jnp.int32), 1, bk
+            )[:, None, :]
+            specs.append(pl.BlockSpec(
+                (1, bq, 1), lambda b_, h_, i, j, *_: (b_, q_index(i, j), 0)
+            ))
+            specs.append(pl.BlockSpec(
+                (1, 1, bk), lambda b_, h_, i, j, *_: (b_, 0, kv_index(i, j))
+            ))
             inputs.extend([qsegp, ksegp])
         return inputs, specs, qp.shape[2], kp.shape[2]
 

@@ -50,7 +50,7 @@ def _decode_kernel(lens_ref, q_ref, k_ref, v_ref, o_ref,
     @pl.when(c_start < length)
     def _run():
         q = q_ref[0, 0]                      # (rows_p, d)
-        k = k_ref[0, :, 0, :]                # (block_k, d)
+        k = k_ref[0, 0]                      # (block_k, d)
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
@@ -77,7 +77,7 @@ def _decode_kernel(lens_ref, q_ref, k_ref, v_ref, o_ref,
         p = jnp.exp(s - jnp.maximum(m_next[:, :1], 0.5 * NEG_INF))
         l_scr[...] = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
         m_scr[...] = m_next
-        v = v_ref[0, :, 0, :]
+        v = v_ref[0, 0]
         pv = jax.lax.dot_general(
             p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -103,13 +103,13 @@ def flash_decode(
     block_k: int = 512,
     interpret: Optional[bool] = None,
 ) -> jax.Array:
-    """q: (b, sq, h, d); k/v_cache: (b, S, hk, d); lengths: (b,) int32
+    """q: (b, sq, h, d); k/v_cache: (b, hk, S, d); lengths: (b,) int32
     valid length including the sq new tokens. Returns (b, sq, h, d)."""
     b, sq, h, d = q.shape
-    S, hk = k_cache.shape[1], k_cache.shape[2]
+    hk, S = k_cache.shape[1], k_cache.shape[2]
     g = h // hk
     rows = sq * g
-    rows_p = max(8, rows)
+    rows_p = round_up(max(8, rows), 8)
     # pack: (b, sq, hk, g, d) -> (b, hk, sq*g, d)
     qr = q.reshape(b, sq, hk, g, d).transpose(0, 2, 1, 3, 4).reshape(
         b, hk, rows, d
@@ -118,13 +118,13 @@ def flash_decode(
         qr = jnp.pad(qr, ((0, 0), (0, 0), (0, rows_p - rows), (0, 0)))
     Sp = round_up(S, block_k)
     if Sp != S:
-        k_cache = jnp.pad(k_cache, ((0, 0), (0, Sp - S), (0, 0), (0, 0)))
-        v_cache = jnp.pad(v_cache, ((0, 0), (0, Sp - S), (0, 0), (0, 0)))
+        k_cache = jnp.pad(k_cache, ((0, 0), (0, 0), (0, Sp - S), (0, 0)))
+        v_cache = jnp.pad(v_cache, ((0, 0), (0, 0), (0, Sp - S), (0, 0)))
     nkv = Sp // block_k
 
     def kv_index(b_, h_, ikv, lens_ref):
         hi = jnp.maximum((lens_ref[b_] - 1) // block_k, 0)
-        return (b_, jnp.minimum(ikv, hi), h_, 0)
+        return (b_, h_, jnp.minimum(ikv, hi), 0)
 
     out = pl.pallas_call(
         functools.partial(
@@ -138,8 +138,8 @@ def flash_decode(
             grid=(b, hk, nkv),
             in_specs=[
                 pl.BlockSpec((1, 1, rows_p, d), lambda b_, h_, ikv, *_: (b_, h_, 0, 0)),
-                pl.BlockSpec((1, block_k, 1, d), kv_index),
-                pl.BlockSpec((1, block_k, 1, d), kv_index),
+                pl.BlockSpec((1, 1, block_k, d), kv_index),
+                pl.BlockSpec((1, 1, block_k, d), kv_index),
             ],
             out_specs=pl.BlockSpec(
                 (1, 1, rows_p, d), lambda b_, h_, ikv, *_: (b_, h_, 0, 0)

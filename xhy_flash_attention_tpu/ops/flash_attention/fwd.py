@@ -65,6 +65,7 @@ def _fwd_kernel(
     block_q: int,
     block_k: int,
     num_kv_blocks: int,
+    need_lse: bool,
 ):
     it = iter(refs)
     if dropout_p > 0.0:
@@ -76,7 +77,7 @@ def _fwd_kernel(
     qseg_ref = next(it) if has_segments else None
     kseg_ref = next(it) if has_segments else None
     o_ref = next(it)
-    lse_ref = next(it)
+    lse_ref = next(it) if need_lse else None
     m_scr = next(it)
     l_scr = next(it)
     acc_scr = next(it)
@@ -145,8 +146,8 @@ def _fwd_kernel(
                 mask = jnp.logical_and(mask, cols >= rows + offset - window[0])
             s = jnp.where(mask, s, NEG_INF)
         if has_segments:
-            qseg = qseg_ref[0][:, None]
-            kseg = kseg_ref[0][None, :]
+            qseg = qseg_ref[0]        # (bq, 1)
+            kseg = kseg_ref[0]        # (1, bk)
             s = jnp.where(qseg == kseg, s, NEG_INF)
 
         m_prev = m_scr[...]
@@ -206,12 +207,13 @@ def _fwd_kernel(
         l = l_scr[:, :1]
         l_inv = jnp.where(l == 0.0, 0.0, 1.0 / l)
         o_ref[0, 0] = (acc_scr[...] * l_inv).astype(o_ref.dtype)
-        m = m_scr[:, 0]
-        lvec = l_scr[:, 0]
-        lse = jnp.where(
-            lvec == 0.0, jnp.inf, m + jnp.log(jnp.maximum(lvec, 1e-37))
-        )
-        lse_ref[0, 0] = lse
+        if lse_ref is not None:
+            # lane-replicated x8 (Mosaic block rule: last dim == array dim)
+            m8 = m_scr[:, :8]
+            l8 = l_scr[:, :8]
+            lse_ref[0, 0] = jnp.where(
+                l8 == 0.0, jnp.inf, m8 + jnp.log(jnp.maximum(l8, 1e-37))
+            )
 
 
 def flash_attention_fwd(
@@ -229,12 +231,14 @@ def flash_attention_fwd(
     dropout_p: float = 0.0,
     dropout_seed: Optional[jax.Array] = None,
     block_sizes: Optional[BlockSizes] = None,
+    need_lse: bool = True,
     interpret: Optional[bool] = None,
-) -> Tuple[jax.Array, jax.Array]:
+) -> Tuple[jax.Array, Optional[jax.Array]]:
     """Forward flash attention on (batch, heads, seq, head_dim) inputs.
 
     Returns (out, lse) with lse = logsumexp of scaled scores, shape (b, h, sq),
-    fp32 (≙ reference softmax_lse, flash_api.cpp mha_fwd).
+    fp32 (≙ reference softmax_lse, flash_api.cpp mha_fwd); lse is None when
+    need_lse=False (inference), skipping its HBM writes entirely.
     """
     if causal:
         window_size = (window_size[0], 0)
@@ -309,24 +313,31 @@ def flash_attention_fwd(
         inputs.append(bias)
     has_segments = q_segment_ids is not None
     if has_segments:
-        qseg = pad_to_block(q_segment_ids.astype(jnp.int32), 1, bq)
-        kseg = pad_to_block(kv_segment_ids.astype(jnp.int32), 1, bk)
+        # 3D layouts keep Mosaic's block rules happy: q segs on sublanes
+        # (bq, 1), kv segs on lanes (1, bk).
+        qseg = pad_to_block(q_segment_ids.astype(jnp.int32), 1, bq)[:, :, None]
+        kseg = pad_to_block(kv_segment_ids.astype(jnp.int32), 1, bk)[:, None, :]
         in_specs.append(
-            pl.BlockSpec((1, bq), lambda b_, h_, iq, ikv, *_: (b_, iq))
+            pl.BlockSpec((1, bq, 1), lambda b_, h_, iq, ikv, *_: (b_, iq, 0))
         )
         in_specs.append(
-            pl.BlockSpec((1, bk), lambda b_, h_, iq, ikv, *_: (b_, kv_index(iq, ikv)))
+            pl.BlockSpec(
+                (1, 1, bk),
+                lambda b_, h_, iq, ikv, *_: (b_, 0, kv_index(iq, ikv)),
+            )
         )
         inputs.extend([qseg, kseg])
 
-    out_shape = [
-        jax.ShapeDtypeStruct((b, h, sqp, d), q.dtype),
-        jax.ShapeDtypeStruct((b, h, sqp), jnp.float32),
-    ]
+    out_shape = [jax.ShapeDtypeStruct((b, h, sqp, d), q.dtype)]
     out_specs = [
         pl.BlockSpec((1, 1, bq, d), lambda b_, h_, iq, ikv, *_: (b_, h_, iq, 0)),
-        pl.BlockSpec((1, 1, bq), lambda b_, h_, iq, ikv, *_: (b_, h_, iq)),
     ]
+    if need_lse:
+        # lane-replicated x8 (see kernel _finish)
+        out_shape.append(jax.ShapeDtypeStruct((b, h, sqp, 8), jnp.float32))
+        out_specs.append(
+            pl.BlockSpec((1, 1, bq, 8), lambda b_, h_, iq, ikv, *_: (b_, h_, iq, 0))
+        )
 
     kernel = functools.partial(
         _fwd_kernel_entry,
@@ -344,6 +355,7 @@ def flash_attention_fwd(
         block_q=bq,
         block_k=bk,
         num_kv_blocks=nkv,
+        need_lse=need_lse,
     )
 
     grid = (b, h, nq, nkv)
@@ -359,7 +371,7 @@ def flash_attention_fwd(
         ),
         transcendentals=int(b * h * sq * sk * flops_factor),
     )
-    out, lse = pl.pallas_call(
+    results = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=num_scalar_prefetch,
@@ -379,7 +391,10 @@ def flash_attention_fwd(
         cost_estimate=cost,
         interpret=interpret_mode() if interpret is None else interpret,
     )(*inputs)
-    return out[:, :, :sq], lse[:, :, :sq]
+    if need_lse:
+        out, lse = results
+        return out[:, :, :sq], lse[:, :, :sq, 0]
+    return results[0][:, :, :sq], None
 
 
 def _fwd_kernel_entry(*refs, **params):

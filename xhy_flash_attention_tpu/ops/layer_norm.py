@@ -63,7 +63,7 @@ def _ln_fwd_kernel(refs, *, p):
     i = pl.program_id(0)
     x = x0_ref[...].astype(jnp.float32)
     if p["has_rowscale"]:
-        x = x * rowscale_ref[...].astype(jnp.float32)[:, None]
+        x = x * rowscale_ref[...].astype(jnp.float32)  # (br, 1)
     if p["has_colscale"]:
         x = x * colscale_ref[...].astype(jnp.float32)[None, :]
     if p["dropout_p"] > 0.0:
@@ -95,8 +95,8 @@ def _ln_fwd_kernel(refs, *, p):
     out_ref[...] = out.astype(out_ref.dtype)
     if p["save_stats"]:
         if not p["is_rms"]:
-            mu_ref[...] = mu[:, 0]
-        rstd_ref[...] = rstd[:, 0]
+            mu_ref[...] = jnp.broadcast_to(mu, (mu.shape[0], 8))
+        rstd_ref[...] = jnp.broadcast_to(rstd, (rstd.shape[0], 8))
 
 
 def _ln_bwd_kernel(refs, *, p):
@@ -121,11 +121,11 @@ def _ln_bwd_kernel(refs, *, p):
     i = pl.program_id(0)
     h = p["hidden"]
     res = resout_ref[...].astype(jnp.float32)
-    rstd = rstd_ref[...][:, None]
+    rstd = rstd_ref[...][:, :1]
     if p["is_rms"]:
         xhat = res * rstd
     else:
-        xhat = (res - mu_ref[...][:, None]) * rstd
+        xhat = (res - mu_ref[...][:, :1]) * rstd
     dout = dout_ref[...].astype(jnp.float32)
     gamma = gamma_ref[...].astype(jnp.float32)[None, :]
     dy = dout * gamma
@@ -138,9 +138,9 @@ def _ln_bwd_kernel(refs, *, p):
     if p["prenorm"]:
         dres = dres + dres_in_ref[...].astype(jnp.float32)
 
-    dgamma_ref[...] = jnp.sum(dout * xhat, axis=0, keepdims=True)
+    dgamma_ref[...] = jnp.sum(dout * xhat, axis=0, keepdims=True)[None]
     if p["has_beta"]:
-        dbeta_ref[...] = jnp.sum(dout, axis=0, keepdims=True)
+        dbeta_ref[...] = jnp.sum(dout, axis=0, keepdims=True)[None]
     if p["has_residual"]:
         dres_ref[...] = dres.astype(dres_ref.dtype)
 
@@ -157,13 +157,13 @@ def _ln_bwd_kernel(refs, *, p):
     if p["has_colscale"]:
         x0 = x0_ref[...].astype(jnp.float32)
         if p["has_rowscale"]:
-            x0 = x0 * rowscale_ref[...].astype(jnp.float32)[:, None]
-        dcolscale_ref[...] = jnp.sum(dx1 * x0, axis=0, keepdims=True)
+            x0 = x0 * rowscale_ref[...].astype(jnp.float32)
+        dcolscale_ref[...] = jnp.sum(dx1 * x0, axis=0, keepdims=True)[None]
         dx0 = dx1 * colscale_ref[...].astype(jnp.float32)[None, :]
     else:
         dx0 = dx1
     if p["has_rowscale"]:
-        dx0 = dx0 * rowscale_ref[...].astype(jnp.float32)[:, None]
+        dx0 = dx0 * rowscale_ref[...].astype(jnp.float32)
     dx0_ref[...] = dx0.astype(dx0_ref.dtype)
 
 
@@ -212,8 +212,8 @@ def _fwd_call(x0, residual, gamma, beta, rowscale, colscale, seed, *,
         inputs.append(beta)
         in_specs.append(pl.BlockSpec((h,), lambda i, *_: (0,)))
     if rowscale is not None:
-        inputs.append(_pad_rows(rowscale, npad))
-        in_specs.append(pl.BlockSpec((br,), lambda i, *_: (i,)))
+        inputs.append(_pad_rows(rowscale, npad)[:, None])
+        in_specs.append(pl.BlockSpec((br, 1), lambda i, *_: (i, 0)))
     if colscale is not None:
         inputs.append(colscale)
         in_specs.append(pl.BlockSpec((h,), lambda i, *_: (0,)))
@@ -225,10 +225,10 @@ def _fwd_call(x0, residual, gamma, beta, rowscale, colscale, seed, *,
         out_shape.append(jax.ShapeDtypeStruct((npad, h), res_dtype))
         out_specs.append(pl.BlockSpec((br, h), lambda i, *_: (i, 0)))
         if not is_rms:
-            out_shape.append(jax.ShapeDtypeStruct((npad,), jnp.float32))
-            out_specs.append(pl.BlockSpec((br,), lambda i, *_: (i,)))
-        out_shape.append(jax.ShapeDtypeStruct((npad,), jnp.float32))
-        out_specs.append(pl.BlockSpec((br,), lambda i, *_: (i,)))
+            out_shape.append(jax.ShapeDtypeStruct((npad, 8), jnp.float32))
+            out_specs.append(pl.BlockSpec((br, 8), lambda i, *_: (i, 0)))
+        out_shape.append(jax.ShapeDtypeStruct((npad, 8), jnp.float32))
+        out_specs.append(pl.BlockSpec((br, 8), lambda i, *_: (i, 0)))
 
     outs = pl.pallas_call(
         functools.partial(_ln_fwd_entry, p=p),
@@ -278,19 +278,20 @@ def _bwd_call(dout, dres_in, resout, mu, rstd, gamma, x0, rowscale, colscale,
 
     row2d = pl.BlockSpec((br, h), lambda i, *_: (i, 0))
     vec_h = pl.BlockSpec((h,), lambda i, *_: (0,))
-    vec_r = pl.BlockSpec((br,), lambda i, *_: (i,))
+    vec_r8 = pl.BlockSpec((br, 8), lambda i, *_: (i, 0))
     add(_pad_rows(dout, npad), row2d)
     if prenorm:
         add(_pad_rows(dres_in, npad), row2d)
     add(_pad_rows(resout, npad), row2d)
     if not is_rms:
-        add(_pad_rows(mu, npad), vec_r)
-    add(_pad_rows(rstd, npad), vec_r)
+        add(_pad_rows(mu, npad), vec_r8)
+    add(_pad_rows(rstd, npad), vec_r8)
     add(gamma, vec_h)
     if colscale is not None:
         add(_pad_rows(x0, npad), row2d)
     if rowscale is not None:
-        add(_pad_rows(rowscale, npad), vec_r)
+        add(_pad_rows(rowscale, npad)[:, None],
+            pl.BlockSpec((br, 1), lambda i, *_: (i, 0)))
     if colscale is not None:
         add(colscale, vec_h)
 
@@ -299,14 +300,14 @@ def _bwd_call(dout, dres_in, resout, mu, rstd, gamma, x0, rowscale, colscale,
     if has_residual:
         out_shape.append(jax.ShapeDtypeStruct((npad, h), res_dtype))
         out_specs.append(row2d)
-    part = pl.BlockSpec((1, h), lambda i, *_: (i, 0))
-    out_shape.append(jax.ShapeDtypeStruct((nblocks, h), jnp.float32))
+    part = pl.BlockSpec((1, 1, h), lambda i, *_: (i, 0, 0))
+    out_shape.append(jax.ShapeDtypeStruct((nblocks, 1, h), jnp.float32))
     out_specs.append(part)
     if has_beta:
-        out_shape.append(jax.ShapeDtypeStruct((nblocks, h), jnp.float32))
+        out_shape.append(jax.ShapeDtypeStruct((nblocks, 1, h), jnp.float32))
         out_specs.append(part)
     if colscale is not None:
-        out_shape.append(jax.ShapeDtypeStruct((nblocks, h), jnp.float32))
+        out_shape.append(jax.ShapeDtypeStruct((nblocks, 1, h), jnp.float32))
         out_specs.append(part)
 
     outs = pl.pallas_call(
@@ -324,9 +325,11 @@ def _bwd_call(dout, dres_in, resout, mu, rstd, gamma, x0, rowscale, colscale,
     it = iter(outs)
     dx0 = next(it)[:n]
     dres = next(it)[:n] if has_residual else None
-    dgamma = jnp.sum(next(it), axis=0)
-    dbeta = jnp.sum(next(it), axis=0) if has_beta else None
-    dcolscale = jnp.sum(next(it), axis=0) if colscale is not None else None
+    dgamma = jnp.sum(next(it), axis=(0, 1))
+    dbeta = jnp.sum(next(it), axis=(0, 1)) if has_beta else None
+    dcolscale = (
+        jnp.sum(next(it), axis=(0, 1)) if colscale is not None else None
+    )
     return dx0, dres, dgamma, dbeta, dcolscale
 
 
