@@ -59,6 +59,9 @@ class GPTConfig:
     mlp_fc2_bias: bool = True
     word_embed_proj_dim: Optional[int] = None
     initializer_range: float = 0.02
+    # inside shard_map: Megatron tensor/sequence parallelism (D2/D3)
+    tensor_parallel_axis: Optional[str] = None
+    sequence_parallel: bool = False
     dtype: Any = jnp.float32
 
     @property
@@ -87,6 +90,8 @@ def _mixer_cls(config: GPTConfig):
         rotary_emb_dim=rotary_dim,
         rotary_emb_base=config.rotary_emb_base,
         rotary_emb_interleaved=config.rotary_emb_interleaved,
+        tp_axis=config.tensor_parallel_axis,
+        sequence_parallel=config.sequence_parallel,
         dtype=config.dtype,
     )
 
@@ -100,6 +105,9 @@ def _mlp_cls(config: GPTConfig):
             activation="silu" if config.activation_function == "swiglu" else "gelu_approx",
             bias1=config.mlp_fc1_bias,
             bias2=config.mlp_fc2_bias,
+            multiple_of=1,  # intermediate_size is already final here
+            tp_axis=config.tensor_parallel_axis,
+            sequence_parallel=config.sequence_parallel,
             dtype=config.dtype,
         )
     return functools.partial(
@@ -108,6 +116,8 @@ def _mlp_cls(config: GPTConfig):
         activation=config.activation_function,
         bias1=config.mlp_fc1_bias,
         bias2=config.mlp_fc2_bias,
+        tp_axis=config.tensor_parallel_axis,
+        sequence_parallel=config.sequence_parallel,
         dtype=config.dtype,
     )
 
@@ -128,6 +138,8 @@ class GPTModel(nn.Module):
             max_position_embeddings=c.max_position_embeddings,
             word_embed_proj_dim=c.word_embed_proj_dim,
             word_embed=self.shared_embed,
+            tp_axis=c.tensor_parallel_axis,
+            sequence_parallel=c.sequence_parallel,
             dtype=c.dtype,
             name="embeddings",
         )(input_ids, position_ids, seqlen_offset=seqlen_offset)
@@ -204,7 +216,18 @@ class GPTLMHeadModel(nn.Module):
             seqlen_offset=seqlen_offset, deterministic=deterministic,
             segment_ids=segment_ids,
         )
-        if self.config.tie_word_embeddings:
+        c = self.config
+        if c.tensor_parallel_axis is not None:
+            # the head is column-parallel: SP gathers sequence shards so
+            # every rank scores all rows against its vocab shard; without SP
+            # the identity/psum `f` operator fixes the input cotangent
+            # (≙ reference lm_head ColumnParallelLinear)
+            from ..modules.linear import gather_sp_input
+
+            hidden = gather_sp_input(
+                hidden, c.tensor_parallel_axis, c.sequence_parallel
+            )
+        if c.tie_word_embeddings:
             logits = self.wte.attend(hidden)
         else:
             logits = self.lm_head(hidden)

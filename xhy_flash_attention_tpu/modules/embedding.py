@@ -18,29 +18,44 @@ import jax.numpy as jnp
 
 class GPT2Embeddings(nn.Module):
     embed_dim: int
-    vocab_size: int
+    vocab_size: int  # local (already divided) when tp_axis is set
     max_position_embeddings: int = 0  # 0 => no position embeddings (rotary)
     word_embed_proj_dim: Optional[int] = None  # OPT-style factorized embed
     word_embed: Optional[nn.Module] = None  # shared table for tied lm_head
+    tp_axis: Optional[str] = None  # vocab-parallel (≙ VocabParallelEmbedding)
+    sequence_parallel: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, input_ids, position_ids=None, seqlen_offset=0):
         b, s = input_ids.shape
         init = nn.initializers.normal(stddev=0.02)
+        if self.tp_axis is not None:
+            # vocab-parallel lookup: masked local gather + psum
+            # (≙ VocabParallelEmbedding, modules/embedding.py:96)
+            start = jax.lax.axis_index(self.tp_axis) * self.vocab_size
+            local_ids = input_ids - start
+            valid = (local_ids >= 0) & (local_ids < self.vocab_size)
+            local_ids = jnp.clip(local_ids, 0, self.vocab_size - 1)
+        else:
+            local_ids, valid = input_ids, None
         if self.word_embed is not None:
-            x = self.word_embed(input_ids)
+            x = self.word_embed(local_ids)
         elif self.word_embed_proj_dim is None:
             emb = nn.Embed(self.vocab_size, self.embed_dim, dtype=self.dtype,
                            embedding_init=init, name="word_embeddings")
-            x = emb(input_ids)
+            x = emb(local_ids)
         else:
             emb = nn.Embed(self.vocab_size, self.word_embed_proj_dim,
                            dtype=self.dtype, embedding_init=init,
                            name="word_embeddings")
-            x = emb(input_ids)
+            x = emb(local_ids)
             x = nn.Dense(self.embed_dim, use_bias=False, dtype=self.dtype,
                          name="project_in")(x)
+        if valid is not None:
+            from ..parallel.collectives import reduce_from_tp_region
+            x = jnp.where(valid[:, :, None], x, 0)
+            x = reduce_from_tp_region(x, self.tp_axis)
         if self.max_position_embeddings > 0:
             if position_ids is None:
                 position_ids = seqlen_offset + jnp.arange(s, dtype=jnp.int32)
@@ -51,6 +66,12 @@ class GPT2Embeddings(nn.Module):
                 name="position_embeddings",
             )
             x = x + pos_emb(position_ids)
+        if self.tp_axis is not None and self.sequence_parallel:
+            # emit sequence-sharded activations (≙ ParallelGPT2Embeddings
+            # + SP flattening, models/gpt.py:362-366)
+            x = x.reshape(
+                b, jax.lax.psum(1, self.tp_axis), -1, x.shape[-1]
+            )[:, jax.lax.axis_index(self.tp_axis)]
         return x
 
 

@@ -25,6 +25,7 @@ import jax.numpy as jnp
 from ..layers.rotary import RotaryEmbedding
 from ..ops.flash_attention import flash_attention
 from ..ops.decode import decode_attention
+from .linear import RowParallelDense, gather_sp_input
 
 
 class MHA(nn.Module):
@@ -44,6 +45,8 @@ class MHA(nn.Module):
     rotary_emb_base: float = 10000.0
     rotary_emb_scale_base: Optional[float] = None
     rotary_emb_interleaved: bool = False
+    tp_axis: Optional[str] = None       # inside shard_map: Megatron TP
+    sequence_parallel: bool = False
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -63,9 +66,10 @@ class MHA(nn.Module):
                                dtype=self.dtype, kernel_init=init, name="Wq")
             self.Wkv = nn.Dense(2 * hk * d, use_bias=self.qkv_proj_bias,
                                 dtype=self.dtype, kernel_init=init, name="Wkv")
-        self.out_proj = nn.Dense(
-            self.embed_dim, use_bias=self.out_proj_bias, dtype=self.dtype,
-            kernel_init=init, name="out_proj",
+        self.out_proj = RowParallelDense(
+            self.embed_dim, use_bias=self.out_proj_bias,
+            tp_axis=self.tp_axis, sequence_parallel=self.sequence_parallel,
+            dtype=self.dtype, name="out_proj",
         )
         if self.rotary_emb_dim > 0:
             self.rotary = RotaryEmbedding(
@@ -94,6 +98,7 @@ class MHA(nn.Module):
         K/V are written at seqlen_offset and attention runs against the
         valid prefix (prompt-vs-decode switch ≙ mha.py:497-515).
         """
+        x = gather_sp_input(x, self.tp_axis, self.sequence_parallel)
         b, sq, _ = x.shape
         h, hk, d = self._h, self._hk, self._d
         if not self.cross_attn:

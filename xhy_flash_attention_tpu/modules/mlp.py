@@ -16,6 +16,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.activations import gelu_tanh, sqrelu, swiglu, geglu
+from .linear import RowParallelDense, gather_sp_input
 
 
 _ACTS = {
@@ -33,17 +34,22 @@ class Mlp(nn.Module):
     activation: str = "gelu_approx"
     bias1: bool = True
     bias2: bool = True
+    tp_axis: Optional[str] = None
+    sequence_parallel: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         out_features = self.out_features or x.shape[-1]
         init = nn.initializers.normal(stddev=0.02)
+        x = gather_sp_input(x, self.tp_axis, self.sequence_parallel)
         y = nn.Dense(self.hidden_features, use_bias=self.bias1,
                      dtype=self.dtype, kernel_init=init, name="fc1")(x)
         y = _ACTS[self.activation](y)
-        return nn.Dense(out_features, use_bias=self.bias2, dtype=self.dtype,
-                        kernel_init=init, name="fc2")(y)
+        return RowParallelDense(out_features, use_bias=self.bias2,
+                                tp_axis=self.tp_axis,
+                                sequence_parallel=self.sequence_parallel,
+                                dtype=self.dtype, name="fc2")(y)
 
 
 class GatedMlp(nn.Module):
@@ -56,6 +62,8 @@ class GatedMlp(nn.Module):
     bias1: bool = False
     bias2: bool = False
     multiple_of: int = 128
+    tp_axis: Optional[str] = None
+    sequence_parallel: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -64,6 +72,7 @@ class GatedMlp(nn.Module):
         hidden = self.hidden_features
         hidden = (hidden + self.multiple_of - 1) // self.multiple_of * self.multiple_of
         init = nn.initializers.normal(stddev=0.02)
+        x = gather_sp_input(x, self.tp_axis, self.sequence_parallel)
         y = nn.Dense(2 * hidden, use_bias=self.bias1, dtype=self.dtype,
                      kernel_init=init, name="fc1")(x)
         gate, up = jnp.split(y, 2, axis=-1)
@@ -71,5 +80,7 @@ class GatedMlp(nn.Module):
             y = swiglu(gate, up)
         else:
             y = geglu(gate, up)
-        return nn.Dense(out_features, use_bias=self.bias2, dtype=self.dtype,
-                        kernel_init=init, name="fc2")(y)
+        return RowParallelDense(out_features, use_bias=self.bias2,
+                                tp_axis=self.tp_axis,
+                                sequence_parallel=self.sequence_parallel,
+                                dtype=self.dtype, name="fc2")(y)
