@@ -240,11 +240,20 @@ class GPTLMHeadModel(nn.Module):
         hk = c.num_attention_heads_kv or c.num_attention_heads
         d = c.head_dim or c.hidden_size // c.num_attention_heads
         dtype = dtype or c.dtype
+        shape = (batch_size, hk, max_seqlen, d)
+        if jnp.dtype(dtype) in (jnp.int8.dtype, jnp.float8_e4m3fn.dtype):
+            # quantized KV cache (≙ FA3 FP8 KV / BASELINE INT8-KV target)
+            from ..ops.quant import QuantizedKV
+
+            def mk():
+                return QuantizedKV(
+                    jnp.zeros(shape, dtype),
+                    jnp.ones(shape[:-1] + (1,), jnp.float32),
+                )
+
+            return [(mk(), mk()) for _ in range(c.num_hidden_layers)]
         return [
-            (
-                jnp.zeros((batch_size, hk, max_seqlen, d), dtype),
-                jnp.zeros((batch_size, hk, max_seqlen, d), dtype),
-            )
+            (jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
             for _ in range(c.num_hidden_layers)
         ]
 

@@ -138,15 +138,34 @@ class MHA(nn.Module):
 
         new_cache = None
         if kv_cache is not None:
+            from ..ops.quant import QuantizedKV, quantize_kv
+
             k_cache, v_cache = kv_cache
-            k_cache = jax.lax.dynamic_update_slice(
-                k_cache, jnp.swapaxes(k, 1, 2).astype(k_cache.dtype),
-                (0, 0, _as_idx(seqlen_offset), 0),
-            )
-            v_cache = jax.lax.dynamic_update_slice(
-                v_cache, jnp.swapaxes(v, 1, 2).astype(v_cache.dtype),
-                (0, 0, _as_idx(seqlen_offset), 0),
-            )
+            idx = _as_idx(seqlen_offset)
+            if isinstance(k_cache, QuantizedKV):
+                kq = quantize_kv(jnp.swapaxes(k, 1, 2), k_cache.values.dtype)
+                vq = quantize_kv(jnp.swapaxes(v, 1, 2), v_cache.values.dtype)
+                k_cache = QuantizedKV(
+                    jax.lax.dynamic_update_slice(
+                        k_cache.values, kq.values, (0, 0, idx, 0)),
+                    jax.lax.dynamic_update_slice(
+                        k_cache.scales, kq.scales, (0, 0, idx, 0)),
+                )
+                v_cache = QuantizedKV(
+                    jax.lax.dynamic_update_slice(
+                        v_cache.values, vq.values, (0, 0, idx, 0)),
+                    jax.lax.dynamic_update_slice(
+                        v_cache.scales, vq.scales, (0, 0, idx, 0)),
+                )
+            else:
+                k_cache = jax.lax.dynamic_update_slice(
+                    k_cache, jnp.swapaxes(k, 1, 2).astype(k_cache.dtype),
+                    (0, 0, idx, 0),
+                )
+                v_cache = jax.lax.dynamic_update_slice(
+                    v_cache, jnp.swapaxes(v, 1, 2).astype(v_cache.dtype),
+                    (0, 0, idx, 0),
+                )
             new_cache = (k_cache, v_cache)
             length = _as_idx(seqlen_offset) + sq
             if isinstance(seqlen_offset, int) and seqlen_offset == 0:

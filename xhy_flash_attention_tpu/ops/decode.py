@@ -61,8 +61,12 @@ def decode_attention(q, k_cache, v_cache, lengths, softmax_scale,
     Row r of the query attends cache positions <= lengths - sq + r
     (the new keys must already be written into the cache).
     """
+    from .quant import QuantizedKV, dequantize_kv
+
     if use_kernel is None:
-        use_kernel = k_cache.shape[2] >= 1024
+        use_kernel = k_cache.shape[2] >= 1024 or isinstance(
+            k_cache, QuantizedKV
+        )
     if use_kernel:
         from .flash_attention.decode_kernel import flash_decode
         return flash_decode(
@@ -70,6 +74,9 @@ def decode_attention(q, k_cache, v_cache, lengths, softmax_scale,
             softmax_scale=softmax_scale, window_size=window_size,
             softcap=softcap,
         )
+    if isinstance(k_cache, QuantizedKV):
+        k_cache = dequantize_kv(k_cache, q.dtype)
+        v_cache = dequantize_kv(v_cache, q.dtype)
     return _decode_attention_xla(
         q, k_cache, v_cache, lengths, softmax_scale, window_size, softcap
     )

@@ -31,10 +31,15 @@ from .common import NEG_INF, interpret_mode, round_up
 MIN_LANES = 128
 
 
-def _decode_kernel(lens_ref, q_ref, k_ref, v_ref, o_ref,
-                   m_scr, l_scr, acc_scr, *,
+def _decode_kernel(lens_ref, *refs,
                    sm_scale, softcap, block_k, sq, g, rows_p,
-                   window_left, num_kv_blocks):
+                   window_left, num_kv_blocks, quantized):
+    if quantized:
+        (q_ref, k_ref, ks_ref, v_ref, vs_ref, o_ref,
+         m_scr, l_scr, acc_scr) = refs
+    else:
+        q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr = refs
+        ks_ref = vs_ref = None
     b_idx = pl.program_id(0)
     ikv = pl.program_id(2)
 
@@ -51,6 +56,9 @@ def _decode_kernel(lens_ref, q_ref, k_ref, v_ref, o_ref,
     def _run():
         q = q_ref[0, 0]                      # (rows_p, d)
         k = k_ref[0, 0]                      # (block_k, d)
+        if quantized:
+            # dequant fused right before the MXU (≙ FA3 k_descale)
+            k = (k.astype(jnp.float32) * ks_ref[0, 0]).astype(q.dtype)
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
@@ -78,6 +86,8 @@ def _decode_kernel(lens_ref, q_ref, k_ref, v_ref, o_ref,
         l_scr[...] = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
         m_scr[...] = m_next
         v = v_ref[0, 0]
+        if quantized:
+            v = (v.astype(jnp.float32) * vs_ref[0, 0]).astype(q.dtype)
         pv = jax.lax.dot_general(
             p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -103,8 +113,16 @@ def flash_decode(
     block_k: int = 512,
     interpret: Optional[bool] = None,
 ) -> jax.Array:
-    """q: (b, sq, h, d); k/v_cache: (b, hk, S, d); lengths: (b,) int32
-    valid length including the sq new tokens. Returns (b, sq, h, d)."""
+    """q: (b, sq, h, d); k/v_cache: (b, hk, S, d) arrays or QuantizedKV
+    (int8/fp8 payload + per-token scales); lengths: (b,) int32 valid length
+    including the sq new tokens. Returns (b, sq, h, d)."""
+    from ..quant import QuantizedKV
+
+    quantized = isinstance(k_cache, QuantizedKV)
+    k_scales = v_scales = None
+    if quantized:
+        k_cache, k_scales = k_cache.values, k_cache.scales
+        v_cache, v_scales = v_cache.values, v_cache.scales
     b, sq, h, d = q.shape
     hk, S = k_cache.shape[1], k_cache.shape[2]
     g = h // hk
@@ -120,6 +138,9 @@ def flash_decode(
     if Sp != S:
         k_cache = jnp.pad(k_cache, ((0, 0), (0, 0), (0, Sp - S), (0, 0)))
         v_cache = jnp.pad(v_cache, ((0, 0), (0, 0), (0, Sp - S), (0, 0)))
+        if quantized:
+            k_scales = jnp.pad(k_scales, ((0, 0), (0, 0), (0, Sp - S), (0, 0)))
+            v_scales = jnp.pad(v_scales, ((0, 0), (0, 0), (0, Sp - S), (0, 0)))
     nkv = Sp // block_k
 
     def kv_index(b_, h_, ikv, lens_ref):
@@ -131,16 +152,22 @@ def flash_decode(
             _decode_kernel,
             sm_scale=softmax_scale, softcap=softcap, block_k=block_k,
             sq=sq, g=g, rows_p=rows_p, window_left=window_size[0],
-            num_kv_blocks=nkv,
+            num_kv_blocks=nkv, quantized=quantized,
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(b, hk, nkv),
-            in_specs=[
-                pl.BlockSpec((1, 1, rows_p, d), lambda b_, h_, ikv, *_: (b_, h_, 0, 0)),
-                pl.BlockSpec((1, 1, block_k, d), kv_index),
-                pl.BlockSpec((1, 1, block_k, d), kv_index),
-            ],
+            in_specs=(
+                [pl.BlockSpec((1, 1, rows_p, d),
+                              lambda b_, h_, ikv, *_: (b_, h_, 0, 0))]
+                + ([pl.BlockSpec((1, 1, block_k, d), kv_index),
+                    pl.BlockSpec((1, 1, block_k, 1), kv_index),
+                    pl.BlockSpec((1, 1, block_k, d), kv_index),
+                    pl.BlockSpec((1, 1, block_k, 1), kv_index)]
+                   if quantized else
+                   [pl.BlockSpec((1, 1, block_k, d), kv_index),
+                    pl.BlockSpec((1, 1, block_k, d), kv_index)])
+            ),
             out_specs=pl.BlockSpec(
                 (1, 1, rows_p, d), lambda b_, h_, ikv, *_: (b_, h_, 0, 0)
             ),
@@ -155,6 +182,8 @@ def flash_decode(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret_mode() if interpret is None else interpret,
-    )(jnp.asarray(lengths, jnp.int32), qr, k_cache, v_cache)
+    )(jnp.asarray(lengths, jnp.int32), qr,
+      *( (k_cache, k_scales, v_cache, v_scales) if quantized
+         else (k_cache, v_cache) ))
     out = out[:, :, :rows].reshape(b, hk, sq, g, d).transpose(0, 2, 1, 3, 4)
     return out.reshape(b, sq, h, d)

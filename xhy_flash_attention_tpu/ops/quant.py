@@ -1,0 +1,104 @@
+"""Quantization: INT8/FP8 KV-cache and weight-only quantized matmuls.
+
+≙ reference FA3 FP8 path (q/k/v_descale, csrc/flash_attn_v3/flash_api.h:69-78)
+and the BASELINE.json north star (INT8/FP8 paged KV with dequant fused into
+the attention inner loop; weight-only INT4/INT8 projection matmuls).
+
+KV quantization is per-token, per-head, symmetric: one scale per (b, head,
+position). The decode kernel loads int8/fp8 payloads (half/quarter the HBM
+bytes of bf16 — decode is bandwidth-bound, so this is a direct speedup) and
+dequantizes in VMEM right before the MXU.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+__all__ = [
+    "QuantizedKV",
+    "quantize_kv",
+    "dequantize_kv",
+    "quantize_weight",
+    "weight_only_quant_matmul",
+]
+
+_QMAX = {
+    jnp.int8.dtype: 127.0,
+    jnp.float8_e4m3fn.dtype: 448.0,
+    jnp.int4.dtype: 7.0,
+}
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class QuantizedKV:
+    """Quantized cache tensor: values (b, hk, S, d) int8/fp8 + per-token
+    scales (b, hk, S, 1) fp32."""
+
+    values: jax.Array
+    scales: jax.Array
+
+    def tree_flatten(self):
+        return (self.values, self.scales), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    @property
+    def shape(self):
+        return self.values.shape
+
+    @property
+    def dtype(self):
+        return self.values.dtype
+
+
+def quantize_kv(x: jax.Array, dtype=jnp.int8) -> QuantizedKV:
+    """x: (..., d) -> per-row symmetric quantization."""
+    qmax = _QMAX[jnp.dtype(dtype)]
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
+    scale = jnp.maximum(amax / qmax, 1e-8)
+    q = x.astype(jnp.float32) / scale
+    if jnp.dtype(dtype) == jnp.int8.dtype or jnp.dtype(dtype) == jnp.int4.dtype:
+        q = jnp.clip(jnp.round(q), -qmax, qmax).astype(dtype)
+    else:
+        q = q.astype(dtype)
+    return QuantizedKV(values=q, scales=scale.astype(jnp.float32))
+
+
+def dequantize_kv(qkv: QuantizedKV, dtype=jnp.float32) -> jax.Array:
+    return (qkv.values.astype(jnp.float32) * qkv.scales).astype(dtype)
+
+
+def quantize_weight(w: jax.Array, dtype=jnp.int8,
+                    axis: int = 0) -> Tuple[jax.Array, jax.Array]:
+    """Weight-only per-output-channel quantization: w (in, out) ->
+    (w_q (in, out) int8/int4, scale (out,) fp32). `axis` is the reduction
+    (input) dimension."""
+    qmax = _QMAX[jnp.dtype(dtype)]
+    amax = jnp.max(jnp.abs(w.astype(jnp.float32)), axis=axis, keepdims=True)
+    scale = jnp.maximum(amax / qmax, 1e-8)
+    q = jnp.clip(jnp.round(w.astype(jnp.float32) / scale), -qmax, qmax)
+    return q.astype(dtype), scale.reshape(-1).astype(jnp.float32)
+
+
+def weight_only_quant_matmul(x: jax.Array, w_q: jax.Array, scale: jax.Array,
+                             bias: Optional[jax.Array] = None) -> jax.Array:
+    """y = x @ dequant(w_q) (+ bias). The convert fuses into the matmul
+    under XLA; for int4 the unpack also fuses. x (..., in), w_q (in, out),
+    scale (out,)."""
+    y = jax.lax.dot_general(
+        x, w_q.astype(x.dtype),
+        (((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    y = y * scale.astype(jnp.float32)
+    if bias is not None:
+        y = y + bias.astype(jnp.float32)
+    return y.astype(x.dtype)
