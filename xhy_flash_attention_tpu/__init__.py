@@ -9,6 +9,7 @@ __version__ = "0.1.0"
 
 from .ops.flash_attention import (
     BlockSizes,
+    flashmask_attention,
     flash_attention,
     flash_attn_func,
     flash_attn_qkvpacked_func,

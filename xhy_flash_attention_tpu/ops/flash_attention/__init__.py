@@ -1,4 +1,11 @@
 from .common import BlockSizes
+from .flashmask import (
+    causal_document_mask,
+    flashmask_attention,
+    flashmask_to_dense,
+    global_sliding_window_mask,
+    sliding_window_mask,
+)
 from .interface import (
     flash_attention,
     flash_attn_func,

@@ -36,9 +36,14 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .common import (
+    FM_NV,
     NEG_INF,
     BlockSizes,
     dropout_keep_mask,
+    fm_banned,
+    fm_block_stats,
+    fm_pad_vecs,
+    fm_skip_bypass,
     interpret_mode,
     pad_to_block,
     round_up,
@@ -52,7 +57,7 @@ def _recompute_p_ds(
     *,
     sm_scale, softcap, dropout_p, rng_block,
     q_start, c_start, seqlen_k, has_right, has_left, window, offset,
-    apply_position_mask,
+    apply_position_mask, fm_mode=None, fmv=None,
 ):
     """Shared recompute: returns (p_dropped_T-ready p, ds_scaled).
 
@@ -77,6 +82,10 @@ def _recompute_p_ds(
             mask = jnp.logical_and(mask, cols <= rows + offset + window[1])
         if has_left:
             mask = jnp.logical_and(mask, cols >= rows + offset - window[0])
+        if fm_mode is not None:
+            mask = jnp.logical_and(
+                mask, jnp.logical_not(fm_banned(fm_mode, fmv, rows))
+            )
         s = jnp.where(mask, s, NEG_INF)
     if qseg is not None:
         s = jnp.where(qseg == kseg, s, NEG_INF)  # (bq,1) vs (1,bk)
@@ -110,12 +119,16 @@ def _bwd_dkv_kernel(refs, *, params):
     it = iter(refs)
     if params["dropout_p"] > 0.0:
         seed_ref = next(it)
+    fm_mode = params.get("fm_mode")
+    if fm_mode is not None:
+        fmstats_ref = next(it)
     q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref = (
         next(it), next(it), next(it), next(it), next(it), next(it),
     )
     bias_ref = next(it) if params["has_bias"] else None
     qseg_ref = next(it) if params["has_segments"] else None
     kseg_ref = next(it) if params["has_segments"] else None
+    fm_ref = next(it) if fm_mode is not None else None
     dk_ref = next(it)
     dv_ref = next(it)
     dbias_ref = next(it) if params["has_bias"] else None
@@ -162,6 +175,19 @@ def _bwd_dkv_kernel(refs, *, params):
             fully_unmasked, c_start >= q_start + bq - 1 + offset - window[0]
         )
 
+    if fm_mode is not None:
+        fm_heads = params["fm_heads"]
+        hm_idx = h_idx // (pl.num_programs(1) // fm_heads) if fm_heads > 1 else 0
+        fm_nv = FM_NV[fm_mode]
+        nkv_fm = params["num_kv_blocks"]
+        base = ((b_idx * fm_heads + hm_idx) * nkv_fm + ikv) * (fm_nv * 2)
+        fm_skip, fm_bypass = fm_skip_bypass(
+            fm_mode, lambda v_, w_: fmstats_ref[base + v_ * 2 + w_],
+            q_start, q_last_real + 1,
+        )
+        should_run = jnp.logical_and(should_run, jnp.logical_not(fm_skip))
+        fully_unmasked = jnp.logical_and(fully_unmasked, fm_bypass)
+
     def body(apply_position_mask):
         q = q_ref[0, 0]
         do = do_ref[0, 0]
@@ -183,6 +209,8 @@ def _bwd_dkv_kernel(refs, *, params):
             q_start=q_start, c_start=c_start, seqlen_k=sk,
             has_right=has_right, has_left=has_left, window=window,
             offset=offset, apply_position_mask=apply_position_mask,
+            fm_mode=fm_mode if apply_position_mask else None,
+            fmv=fm_ref[0, 0] if fm_ref is not None else None,
         )
         if dbias_ref is not None:
             dbias_ref[0, 0] = ds_raw
@@ -203,6 +231,7 @@ def _bwd_dkv_kernel(refs, *, params):
     needs_branch = (
         has_right or has_left
         or (sk % bk != 0) or (sq % bq != 0)
+        or fm_mode is not None
     )
     if needs_branch:
         @pl.when(jnp.logical_and(should_run, fully_unmasked))
@@ -233,12 +262,16 @@ def _bwd_dq_kernel(refs, *, params):
     it = iter(refs)
     if params["dropout_p"] > 0.0:
         seed_ref = next(it)
+    fm_mode = params.get("fm_mode")
+    if fm_mode is not None:
+        fmstats_ref = next(it)
     q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref = (
         next(it), next(it), next(it), next(it), next(it), next(it),
     )
     bias_ref = next(it) if params["has_bias"] else None
     qseg_ref = next(it) if params["has_segments"] else None
     kseg_ref = next(it) if params["has_segments"] else None
+    fm_ref = next(it) if fm_mode is not None else None
     dq_ref = next(it)
     dq_scr = next(it)
 
@@ -281,6 +314,18 @@ def _bwd_dq_kernel(refs, *, params):
             fully_unmasked, c_start >= q_start + bq - 1 + offset - window[0]
         )
 
+    if fm_mode is not None:
+        fm_heads = params["fm_heads"]
+        hm_idx = h_idx // (pl.num_programs(1) // fm_heads) if fm_heads > 1 else 0
+        fm_nv = FM_NV[fm_mode]
+        base = ((b_idx * fm_heads + hm_idx) * nkv + ikv) * (fm_nv * 2)
+        fm_skip, fm_bypass = fm_skip_bypass(
+            fm_mode, lambda v_, w_: fmstats_ref[base + v_ * 2 + w_],
+            q_start, q_last_real + 1,
+        )
+        should_run = jnp.logical_and(should_run, jnp.logical_not(fm_skip))
+        fully_unmasked = jnp.logical_and(fully_unmasked, fm_bypass)
+
     def body(apply_position_mask):
         q = q_ref[0, 0]
         rng_block = None
@@ -300,6 +345,8 @@ def _bwd_dq_kernel(refs, *, params):
             q_start=q_start, c_start=c_start, seqlen_k=sk,
             has_right=has_right, has_left=has_left, window=window,
             offset=offset, apply_position_mask=apply_position_mask,
+            fm_mode=fm_mode if apply_position_mask else None,
+            fmv=fm_ref[0, 0] if fm_ref is not None else None,
         )
         # dQ += dS @ K
         dq_scr[...] += jax.lax.dot_general(
@@ -307,7 +354,9 @@ def _bwd_dq_kernel(refs, *, params):
             (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
         )
 
-    needs_branch = has_right or has_left or (sk % bk != 0)
+    needs_branch = (
+        has_right or has_left or (sk % bk != 0) or fm_mode is not None
+    )
     if needs_branch:
         @pl.when(jnp.logical_and(should_run, fully_unmasked))
         def _fast():
@@ -345,6 +394,8 @@ def flash_attention_bwd(
     dropout_seed: Optional[jax.Array] = None,
     block_sizes: Optional[BlockSizes] = None,
     interpret: Optional[bool] = None,
+    flashmask_vecs: Optional[jax.Array] = None,
+    flashmask_mode: Optional[str] = None,
 ):
     """Backward flash attention on (b, h, s, d) tensors.
 
@@ -366,6 +417,8 @@ def flash_attention_bwd(
     offset = sk - sq
     has_bias = bias is not None
     has_segments = q_segment_ids is not None
+    has_flashmask = flashmask_vecs is not None
+    fm_heads = flashmask_vecs.shape[1] if has_flashmask else 1
 
     if has_bias:
         bias = jnp.asarray(bias)
@@ -425,6 +478,15 @@ def flash_attention_bwd(
                 (1, 1, bk), lambda b_, h_, i, j, *_: (b_, 0, kv_index(i, j))
             ))
             inputs.extend([qsegp, ksegp])
+        if has_flashmask:
+            fmp = fm_pad_vecs(flashmask_vecs, flashmask_mode, bk)
+            nv = fmp.shape[2]
+            fm_g = h // fm_heads
+            specs.append(pl.BlockSpec(
+                (1, 1, nv, bk),
+                lambda b_, h_, i, j, *_: (b_, h_ // fm_g, 0, kv_index(i, j)),
+            ))
+            inputs.append(fmp)
         return inputs, specs, qp.shape[2], kp.shape[2]
 
     num_prefetch = 0
@@ -432,6 +494,13 @@ def flash_attention_bwd(
     if dropout_p > 0.0:
         num_prefetch = 1
         seed_input = [jnp.asarray(dropout_seed, jnp.int32).reshape((1,))]
+    if has_flashmask:
+        num_prefetch += 1
+
+    def fm_prefetch(bk):
+        if not has_flashmask:
+            return []
+        return [fm_block_stats(fm_pad_vecs(flashmask_vecs, flashmask_mode, bk), bk)]
 
     # ---- dKV kernel: grid (b, h, kv-block, q-block) ----
     bq1, bk1 = block_sizes.block_q_dkv, block_sizes.block_k_dkv
@@ -462,6 +531,8 @@ def flash_attention_bwd(
         has_right=has_right, has_left=has_left, window=window_size,
         offset=offset, seqlen_q=sq, seqlen_k=sk,
         block_q=bq1, block_k=bk1, num_q_blocks=nq1, num_kv_blocks=nkv1,
+        fm_mode=flashmask_mode if has_flashmask else None,
+        fm_heads=fm_heads,
     )
     out_specs1 = [
         pl.BlockSpec((1, 1, bk1, d), lambda b_, h_, ikv, iq, *_: (b_, h_, ikv, 0)),
@@ -497,7 +568,7 @@ def flash_attention_bwd(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
         ),
         interpret=interp,
-    )(*seed_input, *inputs1)
+    )(*seed_input, *fm_prefetch(bk1), *inputs1)
     dk_ph, dv_ph = results1[0], results1[1]
     dbias = None
     if has_bias:
@@ -559,7 +630,7 @@ def flash_attention_bwd(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
         ),
         interpret=interp,
-    )(*seed_input, *inputs2)
+    )(*seed_input, *fm_prefetch(bk2), *inputs2)
     dq = dq[:, :, :sq]
     return dq, dk, dv, dbias
 

@@ -97,6 +97,142 @@ def dropout_keep_mask(seed, salt, rows, cols, dropout_p: float):
     return x >= threshold
 
 
+# ---------------------------------------------------------------------------
+# FlashMask (column-wise sparse mask) shared logic.
+#
+# The reference encodes sparse attention masks as up-to-4 per-column row-index
+# vectors (downstart/downend/upstart/upend, csrc/capi/flash_attn.h:38-43) and
+# precomputes per-KV-block max/min of each vector to skip fully-masked blocks
+# and bypass mask work on fully-unmasked blocks (SPARSE_MASKED macros,
+# csrc/flash_attn/src/flash_fwd_kernel.h:1305-1349; scan kernel
+# csrc/flash_attn/src/mask.h:4-127).  On TPU the scan is a plain XLA
+# reshape+min/max prepass, the block stats ride scalar-prefetch SMEM, and
+# skip/bypass are `pl.when` guards.
+# ---------------------------------------------------------------------------
+
+# number of index vectors per mode
+FM_NV = {"causal_1": 1, "causal_2": 2, "full_2": 2, "full_4": 4}
+# pad value per vector position (starts pad 0, ends pad "huge"):
+# padded columns read as fully-masked, which keeps block stats conservative.
+FM_BIG = 2 ** 30
+FM_PAD = {
+    "causal_1": (0,),
+    "causal_2": (0, FM_BIG),
+    "full_2": (0, FM_BIG),
+    "full_4": (0, FM_BIG, 0, FM_BIG),
+}
+
+
+def fm_mode_for(causal: bool, num_vecs: int) -> str:
+    """Map (causal, #vectors) to a FlashMask mode (≙ the reference's
+    flashmask_lt_has_end / flashmask_ut_has_start runtime flags)."""
+    if causal and num_vecs == 1:
+        return "causal_1"
+    if causal and num_vecs == 2:
+        return "causal_2"
+    if not causal and num_vecs == 2:
+        return "full_2"
+    if not causal and num_vecs == 4:
+        return "full_4"
+    raise ValueError(
+        f"flashmask: causal={causal} with {num_vecs} index vectors is not a "
+        "valid combination (causal: 1 or 2; non-causal: 2 or 4)"
+    )
+
+
+def fm_block_stats(vecs_padded: jax.Array, block_k: int) -> jax.Array:
+    """Per-KV-block [max, min] of each flashmask vector (≙ scanMaxMinKernel,
+    csrc/flash_attn/src/mask.h:4-47), flattened int32 for scalar prefetch.
+
+    vecs_padded: (b, hm, NV, skp) int32 with skp % block_k == 0.
+    Returns (b * hm * nkv * NV * 2,) laid out so the kernel reads
+    stats[(((b*hm + h)*nkv + ikv)*NV + v)*2 + {0:max, 1:min}].
+    """
+    b, hm, nv, skp = vecs_padded.shape
+    r = vecs_padded.reshape(b, hm, nv, skp // block_k, block_k)
+    st = jnp.stack([r.max(axis=-1), r.min(axis=-1)], axis=-1)  # (b,hm,nv,nkv,2)
+    st = jnp.moveaxis(st, 2, 3)  # (b, hm, nkv, nv, 2)
+    return st.reshape(-1).astype(jnp.int32)
+
+
+def fm_skip_bypass(mode: str, st, q_start, q_end):
+    """Block-level decisions from scalar stats.
+
+    st(v, which): scalar getter; which 0 = max, 1 = min over the KV block.
+    Returns (skip, bypass): skip — every (row, col) in the tile is masked
+    (≙ SPARSE_MASKED, flash_fwd_kernel.h:1305-1311); bypass — no element is
+    flashmasked so the elementwise pass can be skipped (≙ the
+    enable_mask_bypass conditions, flash_fwd_kernel.h:1347-1349, 1416-1417).
+    Both are conservative across columns (max/min bounds).
+    """
+    lts_max, lts_min = st(0, 0), st(0, 1)
+    if mode == "causal_1":
+        skip = q_start >= lts_max
+        bypass = q_end <= lts_min
+    elif mode == "causal_2":
+        lte_max, lte_min = st(1, 0), st(1, 1)
+        skip = jnp.logical_and(q_start >= lts_max, q_end <= lte_min)
+        bypass = jnp.logical_or(q_end <= lts_min, q_start >= lte_max)
+    elif mode == "full_2":
+        ute_max, ute_min = st(1, 0), st(1, 1)
+        skip = jnp.logical_or(q_start >= lts_max, q_end <= ute_min)
+        bypass = jnp.logical_and(q_end <= lts_min, q_start >= ute_max)
+    elif mode == "full_4":
+        lte_max, lte_min = st(1, 0), st(1, 1)
+        uts_max, uts_min = st(2, 0), st(2, 1)
+        ute_max, ute_min = st(3, 0), st(3, 1)
+        skip = jnp.logical_or(
+            jnp.logical_and(q_start >= lts_max, q_end <= lte_min),
+            jnp.logical_and(q_start >= uts_max, q_end <= ute_min),
+        )
+        bypass = jnp.logical_and(
+            jnp.logical_or(q_end <= lts_min, q_start >= lte_max),
+            jnp.logical_or(q_end <= uts_min, q_start >= ute_max),
+        )
+    else:
+        raise ValueError(mode)
+    return skip, bypass
+
+
+def fm_banned(mode: str, fmv: jax.Array, rows: jax.Array) -> jax.Array:
+    """Elementwise flashmask (True = mask out).
+
+    fmv: (NV, block_k) int32 per-column vectors for this KV block;
+    rows: (block_q, block_k) int32 global row ids.  Bands are half-open
+    [start, end) per the reference apply_sparse_mask* (softmax.h:181-301).
+    """
+    lts = fmv[0:1, :]
+    if mode == "causal_1":
+        return rows >= lts
+    if mode == "causal_2":
+        lte = fmv[1:2, :]
+        return jnp.logical_and(rows >= lts, rows < lte)
+    if mode == "full_2":
+        ute = fmv[1:2, :]
+        return jnp.logical_or(rows >= lts, rows < ute)
+    if mode == "full_4":
+        lte, uts, ute = fmv[1:2, :], fmv[2:3, :], fmv[3:4, :]
+        return jnp.logical_or(
+            jnp.logical_and(rows >= lts, rows < lte),
+            jnp.logical_and(rows >= uts, rows < ute),
+        )
+    raise ValueError(mode)
+
+
+def fm_pad_vecs(vecs: jax.Array, mode: str, block_k: int) -> jax.Array:
+    """Pad the column axis of (b, hm, NV, sk) vectors to a block multiple
+    with per-vector values that read as fully-masked columns."""
+    b, hm, nv, sk = vecs.shape
+    skp = round_up(sk, block_k)
+    if skp == sk:
+        return vecs.astype(jnp.int32)
+    pads = jnp.tile(
+        jnp.asarray(FM_PAD[mode], jnp.int32)[None, None, :, None],
+        (b, hm, 1, skp - sk),
+    )
+    return jnp.concatenate([vecs.astype(jnp.int32), pads], axis=-1)
+
+
 def pad_to_block(x: jax.Array, axis: int, block: int) -> jax.Array:
     """Zero-pad `axis` of x up to a multiple of `block`."""
     size = x.shape[axis]

@@ -37,10 +37,15 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .common import (
+    FM_NV,
     NEG_INF,
     BlockSizes,
     cdiv,
     dropout_keep_mask,
+    fm_banned,
+    fm_block_stats,
+    fm_pad_vecs,
+    fm_skip_bypass,
     interpret_mode,
     pad_to_block,
 )
@@ -66,16 +71,21 @@ def _fwd_kernel(
     block_k: int,
     num_kv_blocks: int,
     need_lse: bool,
+    fm_mode: Optional[str] = None,
+    fm_heads: int = 1,
 ):
     it = iter(refs)
     if dropout_p > 0.0:
         seed_ref = next(it)
+    if fm_mode is not None:
+        fmstats_ref = next(it)
     q_ref = next(it)
     k_ref = next(it)
     v_ref = next(it)
     bias_ref = next(it) if has_bias else None
     qseg_ref = next(it) if has_segments else None
     kseg_ref = next(it) if has_segments else None
+    fm_ref = next(it) if fm_mode is not None else None
     o_ref = next(it)
     lse_ref = next(it) if need_lse else None
     m_scr = next(it)
@@ -121,6 +131,19 @@ def _fwd_kernel(
             fully_unmasked, c_start >= q_start + block_q - 1 + offset - window[0]
         )
 
+    if fm_mode is not None:
+        # Block skip / bypass from scalar-prefetched per-block max/min
+        # (≙ SPARSE_MASKED / enable_mask_bypass, flash_fwd_kernel.h:1305-1349).
+        hm_idx = h_idx // (pl.num_programs(1) // fm_heads) if fm_heads > 1 else 0
+        fm_nv = FM_NV[fm_mode]
+        base = ((b_idx * fm_heads + hm_idx) * num_kv_blocks + ikv) * (fm_nv * 2)
+        fm_skip, fm_bypass = fm_skip_bypass(
+            fm_mode, lambda v, w: fmstats_ref[base + v * 2 + w],
+            q_start, q_last_real + 1,
+        )
+        should_run = jnp.logical_and(should_run, jnp.logical_not(fm_skip))
+        fully_unmasked = jnp.logical_and(fully_unmasked, fm_bypass)
+
     def body(apply_position_mask: bool):
         q = q_ref[0, 0]
         k = k_ref[0, 0]
@@ -144,6 +167,10 @@ def _fwd_kernel(
                 mask = jnp.logical_and(mask, cols <= rows + offset + window[1])
             if has_left:
                 mask = jnp.logical_and(mask, cols >= rows + offset - window[0])
+            if fm_mode is not None:
+                mask = jnp.logical_and(
+                    mask, jnp.logical_not(fm_banned(fm_mode, fm_ref[0, 0], rows))
+                )
             s = jnp.where(mask, s, NEG_INF)
         if has_segments:
             qseg = qseg_ref[0]        # (bq, 1)
@@ -188,7 +215,10 @@ def _fwd_kernel(
         )
         acc_scr[...] = acc_scr[...] * alpha[:, :1] + pv
 
-    needs_branch = has_right or has_left or (seqlen_k % block_k != 0)
+    needs_branch = (
+        has_right or has_left or (seqlen_k % block_k != 0)
+        or fm_mode is not None
+    )
     if needs_branch:
         @pl.when(jnp.logical_and(should_run, fully_unmasked))
         def _fast():
@@ -233,12 +263,18 @@ def flash_attention_fwd(
     block_sizes: Optional[BlockSizes] = None,
     need_lse: bool = True,
     interpret: Optional[bool] = None,
+    flashmask_vecs: Optional[jax.Array] = None,
+    flashmask_mode: Optional[str] = None,
 ) -> Tuple[jax.Array, Optional[jax.Array]]:
     """Forward flash attention on (batch, heads, seq, head_dim) inputs.
 
     Returns (out, lse) with lse = logsumexp of scaled scores, shape (b, h, sq),
     fp32 (≙ reference softmax_lse, flash_api.cpp mha_fwd); lse is None when
     need_lse=False (inference), skipping its HBM writes entirely.
+
+    flashmask_vecs: optional (b, hm, NV, sk) int32 column-wise sparse-mask
+    row-index vectors (FlashMask, ≙ csrc/capi/flash_attn.h:38-43) with
+    flashmask_mode one of common.FM_NV's keys; hm must divide h.
     """
     if causal:
         window_size = (window_size[0], 0)
@@ -278,6 +314,13 @@ def flash_attention_fwd(
             raise ValueError("dropout requires a seed")
         inputs.append(jnp.asarray(dropout_seed, jnp.int32).reshape((1,)))
         num_scalar_prefetch = 1
+    has_flashmask = flashmask_vecs is not None
+    if has_flashmask:
+        fm_heads = flashmask_vecs.shape[1]
+        assert h % fm_heads == 0, (h, fm_heads)
+        fmp = fm_pad_vecs(flashmask_vecs, flashmask_mode, bk)
+        inputs.append(fm_block_stats(fmp, bk))
+        num_scalar_prefetch += 1
     inputs.extend([qp, kp, vp])
     in_specs.extend([
         pl.BlockSpec((1, 1, bq, d), lambda b_, h_, iq, ikv, *_: (b_, h_, iq, 0)),
@@ -327,6 +370,19 @@ def flash_attention_fwd(
             )
         )
         inputs.extend([qseg, kseg])
+    if has_flashmask:
+        # per-column index vectors, lane-oriented (1, 1, NV, bk) blocks
+        nv = fmp.shape[2]
+        fm_g = h // fm_heads
+        in_specs.append(
+            pl.BlockSpec(
+                (1, 1, nv, bk),
+                lambda b_, h_, iq, ikv, *_: (
+                    b_, h_ // fm_g, 0, kv_index(iq, ikv)
+                ),
+            )
+        )
+        inputs.append(fmp)
 
     out_shape = [jax.ShapeDtypeStruct((b, h, sqp, d), q.dtype)]
     out_specs = [
@@ -356,6 +412,8 @@ def flash_attention_fwd(
         block_k=bk,
         num_kv_blocks=nkv,
         need_lse=need_lse,
+        fm_mode=flashmask_mode if has_flashmask else None,
+        fm_heads=fm_heads if has_flashmask else 1,
     )
 
     grid = (b, h, nq, nkv)
