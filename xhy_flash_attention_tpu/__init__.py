@@ -9,6 +9,8 @@ __version__ = "0.1.0"
 
 from .ops.flash_attention import (
     BlockSizes,
+    blocksparse_attention,
+    calc_reduced_attn_scores,
     flashmask_attention,
     flash_attention,
     flash_attn_func,

@@ -1,4 +1,10 @@
 from .common import BlockSizes
+from .blocksparse import (
+    blockmask_to_dense,
+    blocksparse_attention,
+    flash_blocksparse_attn_func,
+)
+from .reduced_scores import calc_reduced_attn_scores
 from .flashmask import (
     causal_document_mask,
     flashmask_attention,

@@ -40,6 +40,7 @@ from .common import (
     NEG_INF,
     BlockSizes,
     dropout_keep_mask,
+    expand_block_mask,
     fm_banned,
     fm_block_stats,
     fm_pad_vecs,
@@ -122,6 +123,9 @@ def _bwd_dkv_kernel(refs, *, params):
     fm_mode = params.get("fm_mode")
     if fm_mode is not None:
         fmstats_ref = next(it)
+    has_blockmask = params.get("has_blockmask", False)
+    if has_blockmask:
+        bm_ref = next(it)
     q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref = (
         next(it), next(it), next(it), next(it), next(it), next(it),
     )
@@ -187,6 +191,13 @@ def _bwd_dkv_kernel(refs, *, params):
         )
         should_run = jnp.logical_and(should_run, jnp.logical_not(fm_skip))
         fully_unmasked = jnp.logical_and(fully_unmasked, fm_bypass)
+
+    if has_blockmask:
+        bm_heads = params["bm_heads"]
+        bm_idx = h_idx // (pl.num_programs(1) // bm_heads) if bm_heads > 1 else 0
+        bbase = ((b_idx * bm_heads + bm_idx) * params["num_q_blocks"] + iq) \
+            * params["num_kv_blocks"]
+        should_run = jnp.logical_and(should_run, bm_ref[bbase + ikv] != 0)
 
     def body(apply_position_mask):
         q = q_ref[0, 0]
@@ -265,6 +276,9 @@ def _bwd_dq_kernel(refs, *, params):
     fm_mode = params.get("fm_mode")
     if fm_mode is not None:
         fmstats_ref = next(it)
+    has_blockmask = params.get("has_blockmask", False)
+    if has_blockmask:
+        bm_ref = next(it)
     q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref = (
         next(it), next(it), next(it), next(it), next(it), next(it),
     )
@@ -325,6 +339,13 @@ def _bwd_dq_kernel(refs, *, params):
         )
         should_run = jnp.logical_and(should_run, jnp.logical_not(fm_skip))
         fully_unmasked = jnp.logical_and(fully_unmasked, fm_bypass)
+
+    if has_blockmask:
+        bm_heads = params["bm_heads"]
+        bm_idx = h_idx // (pl.num_programs(1) // bm_heads) if bm_heads > 1 else 0
+        bbase = ((b_idx * bm_heads + bm_idx) * params["num_q_blocks"] + iq) \
+            * params["num_kv_blocks"]
+        should_run = jnp.logical_and(should_run, bm_ref[bbase + ikv] != 0)
 
     def body(apply_position_mask):
         q = q_ref[0, 0]
@@ -396,6 +417,7 @@ def flash_attention_bwd(
     interpret: Optional[bool] = None,
     flashmask_vecs: Optional[jax.Array] = None,
     flashmask_mode: Optional[str] = None,
+    block_mask=None,
 ):
     """Backward flash attention on (b, h, s, d) tensors.
 
@@ -419,6 +441,8 @@ def flash_attention_bwd(
     has_segments = q_segment_ids is not None
     has_flashmask = flashmask_vecs is not None
     fm_heads = flashmask_vecs.shape[1] if has_flashmask else 1
+    has_blockmask = block_mask is not None
+    bm_heads = block_mask[0].shape[1] if has_blockmask else 1
 
     if has_bias:
         bias = jnp.asarray(bias)
@@ -496,11 +520,19 @@ def flash_attention_bwd(
         seed_input = [jnp.asarray(dropout_seed, jnp.int32).reshape((1,))]
     if has_flashmask:
         num_prefetch += 1
+    if has_blockmask:
+        num_prefetch += 1
 
     def fm_prefetch(bk):
         if not has_flashmask:
             return []
         return [fm_block_stats(fm_pad_vecs(flashmask_vecs, flashmask_mode, bk), bk)]
+
+    def bm_prefetch(bq, bk, nq, nkv):
+        if not has_blockmask:
+            return []
+        bmask, gq, gk = block_mask
+        return [expand_block_mask(bmask, gq, gk, bq, bk, nq, nkv, b)]
 
     # ---- dKV kernel: grid (b, h, kv-block, q-block) ----
     bq1, bk1 = block_sizes.block_q_dkv, block_sizes.block_k_dkv
@@ -533,6 +565,8 @@ def flash_attention_bwd(
         block_q=bq1, block_k=bk1, num_q_blocks=nq1, num_kv_blocks=nkv1,
         fm_mode=flashmask_mode if has_flashmask else None,
         fm_heads=fm_heads,
+        has_blockmask=has_blockmask,
+        bm_heads=bm_heads,
     )
     out_specs1 = [
         pl.BlockSpec((1, 1, bk1, d), lambda b_, h_, ikv, iq, *_: (b_, h_, ikv, 0)),
@@ -568,7 +602,8 @@ def flash_attention_bwd(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
         ),
         interpret=interp,
-    )(*seed_input, *fm_prefetch(bk1), *inputs1)
+    )(*seed_input, *fm_prefetch(bk1), *bm_prefetch(bq1, bk1, nq1, nkv1),
+      *inputs1)
     dk_ph, dv_ph = results1[0], results1[1]
     dbias = None
     if has_bias:
@@ -630,7 +665,8 @@ def flash_attention_bwd(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
         ),
         interpret=interp,
-    )(*seed_input, *fm_prefetch(bk2), *inputs2)
+    )(*seed_input, *fm_prefetch(bk2), *bm_prefetch(bq2, bk2, nq2, nkv2),
+      *inputs2)
     dq = dq[:, :, :sq]
     return dq, dk, dv, dbias
 

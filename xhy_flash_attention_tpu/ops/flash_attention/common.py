@@ -233,6 +233,32 @@ def fm_pad_vecs(vecs: jax.Array, mode: str, block_k: int) -> jax.Array:
     return jnp.concatenate([vecs.astype(jnp.int32), pads], axis=-1)
 
 
+def expand_block_mask(
+    mask: jax.Array, gq: int, gk: int, bq: int, bk: int, nq: int, nkv: int,
+    batch: int,
+) -> jax.Array:
+    """Resample a (b|1, hm, ceil(sq/gq), ceil(sk/gk)) 0/1 block mask from user
+    granularity (gq, gk) to the kernel tile grid (nq, nkv) of tiles (bq, bk),
+    flattened int32 for scalar prefetch.
+
+    Kernel tiles must evenly subdivide user blocks (gq % bq == gk % bk == 0)
+    so a tile never straddles an on/off boundary. Tiles beyond the user mask
+    (padding) are turned off — they hold no real rows/cols.
+    """
+    if gq % bq or gk % bk:
+        raise ValueError(
+            f"kernel tiles ({bq},{bk}) must divide blocksparse granularity "
+            f"({gq},{gk})"
+        )
+    m = jnp.asarray(mask, jnp.int32)
+    m = jnp.repeat(jnp.repeat(m, gq // bq, axis=2), gk // bk, axis=3)
+    pq, pk = nq - m.shape[2], nkv - m.shape[3]
+    if pq > 0 or pk > 0:
+        m = jnp.pad(m, ((0, 0), (0, 0), (0, max(pq, 0)), (0, max(pk, 0))))
+    m = m[:, :, :nq, :nkv]
+    return jnp.broadcast_to(m, (batch,) + m.shape[1:]).reshape(-1)
+
+
 def pad_to_block(x: jax.Array, axis: int, block: int) -> jax.Array:
     """Zero-pad `axis` of x up to a multiple of `block`."""
     size = x.shape[axis]

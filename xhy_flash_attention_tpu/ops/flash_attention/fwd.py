@@ -42,6 +42,7 @@ from .common import (
     BlockSizes,
     cdiv,
     dropout_keep_mask,
+    expand_block_mask,
     fm_banned,
     fm_block_stats,
     fm_pad_vecs,
@@ -73,12 +74,17 @@ def _fwd_kernel(
     need_lse: bool,
     fm_mode: Optional[str] = None,
     fm_heads: int = 1,
+    has_blockmask: bool = False,
+    bm_heads: int = 1,
+    num_q_blocks: int = 1,
 ):
     it = iter(refs)
     if dropout_p > 0.0:
         seed_ref = next(it)
     if fm_mode is not None:
         fmstats_ref = next(it)
+    if has_blockmask:
+        bm_ref = next(it)
     q_ref = next(it)
     k_ref = next(it)
     v_ref = next(it)
@@ -143,6 +149,15 @@ def _fwd_kernel(
         )
         should_run = jnp.logical_and(should_run, jnp.logical_not(fm_skip))
         fully_unmasked = jnp.logical_and(fully_unmasked, fm_bypass)
+
+    if has_blockmask:
+        # Blocksparse: skip (q-block, kv-block) tiles the block mask turns off
+        # (≙ FA1 blocksparse fmha_block_fprop_kernel_1xN.h / blockmask of
+        # flash_blocksparse_attn_interface.py — here tile-granular grid
+        # pruning via a scalar-prefetched mask).
+        bm_idx = h_idx // (pl.num_programs(1) // bm_heads) if bm_heads > 1 else 0
+        bbase = ((b_idx * bm_heads + bm_idx) * num_q_blocks + iq) * num_kv_blocks
+        should_run = jnp.logical_and(should_run, bm_ref[bbase + ikv] != 0)
 
     def body(apply_position_mask: bool):
         q = q_ref[0, 0]
@@ -265,6 +280,7 @@ def flash_attention_fwd(
     interpret: Optional[bool] = None,
     flashmask_vecs: Optional[jax.Array] = None,
     flashmask_mode: Optional[str] = None,
+    block_mask: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, Optional[jax.Array]]:
     """Forward flash attention on (batch, heads, seq, head_dim) inputs.
 
@@ -320,6 +336,14 @@ def flash_attention_fwd(
         assert h % fm_heads == 0, (h, fm_heads)
         fmp = fm_pad_vecs(flashmask_vecs, flashmask_mode, bk)
         inputs.append(fm_block_stats(fmp, bk))
+        num_scalar_prefetch += 1
+    has_blockmask = block_mask is not None
+    if has_blockmask:
+        # block_mask: ((b|1, hm, Mq, Mk) 0/1 mask, gq, gk) at user granularity
+        bmask, gq, gk = block_mask
+        bm_heads = bmask.shape[1]
+        assert h % bm_heads == 0, (h, bm_heads)
+        inputs.append(expand_block_mask(bmask, gq, gk, bq, bk, nq, nkv, b))
         num_scalar_prefetch += 1
     inputs.extend([qp, kp, vp])
     in_specs.extend([
@@ -414,6 +438,9 @@ def flash_attention_fwd(
         need_lse=need_lse,
         fm_mode=flashmask_mode if has_flashmask else None,
         fm_heads=fm_heads if has_flashmask else 1,
+        has_blockmask=has_blockmask,
+        bm_heads=bm_heads if has_blockmask else 1,
+        num_q_blocks=nq,
     )
 
     grid = (b, h, nq, nkv)
