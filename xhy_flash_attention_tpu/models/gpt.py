@@ -51,6 +51,8 @@ class GPTConfig:
     residual_in_fp32: bool = True
     prenorm: bool = True
     parallel_block: bool = False
+    parallel_block_tied_norm: bool = True
+    lm_head_bias: bool = False
     tie_word_embeddings: bool = True
     pad_vocab_size_multiple: int = 1
     qkv_proj_bias: bool = True
@@ -167,6 +169,7 @@ class GPTModel(nn.Module):
                 resid_dropout2=c.resid_pdrop,
                 residual_in_fp32=c.residual_in_fp32,
                 parallel_block=c.parallel_block,
+                parallel_block_tied_norm=c.parallel_block_tied_norm,
                 name=f"layers_{i}",
             )(
                 hidden, residual, deterministic=deterministic,
@@ -175,10 +178,13 @@ class GPTModel(nn.Module):
             )
             if new_caches is not None:
                 new_caches.append(new_cache)
-        # final fused norm over (hidden, residual) (reference gpt.py:399-415)
-        normf = _Norm(rms=c.rms_norm, eps=c.layer_norm_epsilon, name="norm_f")
-        drop_f = 0.0 if deterministic else c.resid_pdrop
-        hidden = normf(hidden, residual, drop_f, False, c.residual_in_fp32)
+        if c.prenorm:
+            # final fused norm over (hidden, residual) (reference
+            # gpt.py:399-415); postnorm models (OPT-350m) have none
+            normf = _Norm(rms=c.rms_norm, eps=c.layer_norm_epsilon,
+                          name="norm_f")
+            drop_f = 0.0 if deterministic else c.resid_pdrop
+            hidden = normf(hidden, residual, drop_f, False, c.residual_in_fp32)
         return hidden, new_caches
 
 
@@ -189,9 +195,11 @@ class GPTLMHeadModel(nn.Module):
         c = self.config
         if c.tie_word_embeddings:
             # shared table: used by the embedding layer and attended by the
-            # head (≙ reference tie_weights, gpt.py:441-457)
+            # head (≙ reference tie_weights, gpt.py:441-457); lives in
+            # word_embed_proj_dim when the embedding is factorized (OPT-350m)
             self.wte = nn.Embed(
-                c.padded_vocab_size, c.hidden_size, dtype=c.dtype,
+                c.padded_vocab_size,
+                c.word_embed_proj_dim or c.hidden_size, dtype=c.dtype,
                 embedding_init=nn.initializers.normal(
                     stddev=c.initializer_range
                 ),
@@ -202,11 +210,18 @@ class GPTLMHeadModel(nn.Module):
         else:
             self.transformer = GPTModel(c, name="transformer")
             self.lm_head = nn.Dense(
-                c.padded_vocab_size, use_bias=False, dtype=c.dtype,
+                c.padded_vocab_size, use_bias=c.lm_head_bias, dtype=c.dtype,
                 kernel_init=nn.initializers.normal(
                     stddev=c.initializer_range
                 ),
                 name="lm_head",
+            )
+        if c.word_embed_proj_dim is not None:
+            # OPT-style factorized head: hidden -> word_embed_proj_dim
+            # before scoring (≙ reference project_out, models/opt.py:26)
+            self.project_out = nn.Dense(
+                c.word_embed_proj_dim, use_bias=False, dtype=c.dtype,
+                name="project_out",
             )
 
     def __call__(self, input_ids, position_ids=None, *, kv_caches=None,
@@ -227,6 +242,8 @@ class GPTLMHeadModel(nn.Module):
             hidden = gather_sp_input(
                 hidden, c.tensor_parallel_axis, c.sequence_parallel
             )
+        if c.word_embed_proj_dim is not None:
+            hidden = self.project_out(hidden)
         if c.tie_word_embeddings:
             logits = self.wte.attend(hidden)
         else:

@@ -62,6 +62,11 @@ class Block(nn.Module):
     resid_dropout2: float = 0.0
     residual_in_fp32: bool = False
     parallel_block: bool = False
+    # parallel block with untied norms: attention reads norm1, MLP reads
+    # norm2, both over the same residual stream (GPT-NeoX / Falcon-40B style;
+    # ≙ reference parallel_block_tied_norm=False and the dual-LN
+    # dropout_add_layer_norm_parallel_residual kernel, csrc/layer_norm)
+    parallel_block_tied_norm: bool = True
 
     @nn.compact
     def __call__(self, hidden_states, residual=None, *, deterministic=True,
@@ -105,7 +110,17 @@ class Block(nn.Module):
                 deterministic=deterministic,
                 q_segment_ids=q_segment_ids, kv_segment_ids=kv_segment_ids,
             )
-            mlp_out = mlp(normed) if mlp is not None else 0.0
+            if self.parallel_block_tied_norm:
+                normed_mlp = normed
+            else:
+                # dual-LN parallel residual: norm2 re-normalizes the same
+                # post-dropout-add residual for the MLP branch
+                norm2 = _Norm(rms=self.rms_norm, eps=self.norm_eps,
+                              name="norm2")
+                normed_mlp = norm2(
+                    residual.astype(normed.dtype), None, 0.0, False, False
+                )
+            mlp_out = mlp(normed_mlp) if mlp is not None else 0.0
             return attn_out + mlp_out, residual, new_cache
 
         attn_out, new_cache = mixer(

@@ -41,6 +41,10 @@ class GPT2Embeddings(nn.Module):
             local_ids, valid = input_ids, None
         if self.word_embed is not None:
             x = self.word_embed(local_ids)
+            if self.word_embed_proj_dim is not None:
+                # factorized embedding shares the small table; project up
+                x = nn.Dense(self.embed_dim, use_bias=False, dtype=self.dtype,
+                             name="project_in")(x)
         elif self.word_embed_proj_dim is None:
             emb = nn.Embed(self.vocab_size, self.embed_dim, dtype=self.dtype,
                            embedding_init=init, name="word_embeddings")
