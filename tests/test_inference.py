@@ -1,0 +1,186 @@
+"""Paged KV decode, split-KV + combine, continuous-batching engine tests
+(≙ reference FA3 decode features I4 + generation machinery I1-I3)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from xhy_flash_attention_tpu.inference import (
+    InferenceEngine,
+    PagedKVCache,
+    Request,
+    append_paged_kv,
+    flash_decode_splitkv,
+    merge_attention_partials,
+    paged_flash_decode,
+)
+from xhy_flash_attention_tpu.ops.decode import _decode_attention_xla
+
+
+def _random_cache_setup(rng, b, hk, d, page_size, lengths):
+    """Build equivalent contiguous + paged caches with random contents."""
+    S = max(lengths)
+    Sp = -(-S // page_size) * page_size
+    k = rng.standard_normal((b, hk, Sp, d)).astype(np.float32)
+    v = rng.standard_normal((b, hk, Sp, d)).astype(np.float32)
+    nblocks = Sp // page_size
+    num_pages = b * nblocks + 2
+    k_pages = np.zeros((num_pages, hk, page_size, d), np.float32)
+    v_pages = np.zeros((num_pages, hk, page_size, d), np.float32)
+    table = np.zeros((b, nblocks), np.int32)
+    p = 1  # page 0 left unused to catch indexing bugs
+    for i in range(b):
+        for blk in range(nblocks):
+            table[i, blk] = p
+            k_pages[p] = k[i, :, blk * page_size:(blk + 1) * page_size]
+            v_pages[p] = v[i, :, blk * page_size:(blk + 1) * page_size]
+            p += 1
+    cache = PagedKVCache(
+        k_pages=jnp.asarray(k_pages), v_pages=jnp.asarray(v_pages),
+        page_table=jnp.asarray(table),
+        lengths=jnp.asarray(lengths, jnp.int32),
+    )
+    return jnp.asarray(k), jnp.asarray(v), cache
+
+
+@pytest.mark.parametrize("gqa", [1, 4])
+def test_paged_decode_matches_dense(gqa):
+    rng = np.random.default_rng(0)
+    b, hk, d, ps = 3, 2, 64, 128
+    h = hk * gqa
+    lengths = [130, 256, 77]
+    k, v, cache = _random_cache_setup(rng, b, hk, d, ps, lengths)
+    q = jnp.asarray(rng.standard_normal((b, 1, h, d)), jnp.float32)
+    out_paged = paged_flash_decode(q, cache, softmax_scale=d ** -0.5)
+    out_dense = _decode_attention_xla(
+        q, k, v, jnp.asarray(lengths, jnp.int32), d ** -0.5
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_paged), np.asarray(out_dense), atol=2e-5, rtol=1e-4
+    )
+
+
+def test_append_paged_kv():
+    rng = np.random.default_rng(1)
+    b, hk, d, ps = 2, 2, 64, 128
+    lengths = [130, 255]
+    k, v, cache = _random_cache_setup(rng, b, hk, d, ps, lengths)
+    k_new = jnp.asarray(rng.standard_normal((b, hk, 1, d)), jnp.float32)
+    v_new = jnp.asarray(rng.standard_normal((b, hk, 1, d)), jnp.float32)
+    cache2 = append_paged_kv(cache, k_new, v_new)
+    assert list(np.asarray(cache2.lengths)) == [131, 256]
+    # the appended token must be readable back from its page
+    for i, ln in enumerate(lengths):
+        blk, off = ln // ps, ln % ps
+        page = int(np.asarray(cache.page_table)[i, blk])
+        got = np.asarray(cache2.k_pages)[page, :, off]
+        np.testing.assert_allclose(got, np.asarray(k_new[i, :, 0]), atol=0)
+    # inactive slot (length 0) must not advance
+    cache.lengths = cache.lengths.at[0].set(0)
+    cache3 = append_paged_kv(cache, k_new, v_new)
+    assert int(np.asarray(cache3.lengths)[0]) == 0
+
+
+@pytest.mark.parametrize("num_splits", [2, 4])
+def test_splitkv_matches_dense(num_splits):
+    rng = np.random.default_rng(2)
+    b, h, hk, d = 2, 4, 2, 64
+    S = 1024
+    lengths = jnp.asarray([900, 512], jnp.int32)
+    q = jnp.asarray(rng.standard_normal((b, 1, h, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, hk, S, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, hk, S, d)), jnp.float32)
+    out_split = flash_decode_splitkv(
+        q, k, v, lengths, softmax_scale=d ** -0.5,
+        num_splits=num_splits, block_k=128,
+    )
+    out_dense = _decode_attention_xla(q, k, v, lengths, d ** -0.5)
+    np.testing.assert_allclose(
+        np.asarray(out_split), np.asarray(out_dense), atol=2e-5, rtol=1e-4
+    )
+
+
+def test_merge_partials_is_softmax_partition():
+    """Merging per-split normalized outputs == softmax over the union."""
+    rng = np.random.default_rng(3)
+    rows, d, n1, n2 = 8, 16, 24, 40
+    s = rng.standard_normal((rows, n1 + n2)).astype(np.float32)
+    vv = rng.standard_normal((n1 + n2, d)).astype(np.float32)
+
+    # split 1 over first n1 cols, split 2 over rest
+    def norm_out(sl, vs):
+        m = sl.max(-1, keepdims=True)
+        p = np.exp(sl - m)
+        l = p.sum(-1, keepdims=True)
+        return (p / l) @ vs, m, l
+
+    o1, m1, l1 = norm_out(s[:, :n1], vv[:n1])
+    o2, m2, l2 = norm_out(s[:, n1:], vv[n1:])
+    outs = jnp.stack([jnp.asarray(o1), jnp.asarray(o2)])
+    ms = jnp.stack([jnp.asarray(m1), jnp.asarray(m2)])
+    ls = jnp.stack([jnp.asarray(l1), jnp.asarray(l2)])
+    merged, _, _ = merge_attention_partials(outs, ms, ls, axis=0)
+    expect = (jax.nn.softmax(jnp.asarray(s), -1) @ jnp.asarray(vv))
+    np.testing.assert_allclose(
+        np.asarray(merged), np.asarray(expect), atol=1e-5
+    )
+
+
+def test_engine_matches_sequential_decode():
+    """Continuous-batching engine == one-at-a-time greedy decode."""
+    from xhy_flash_attention_tpu.models.gpt import GPTConfig, GPTLMHeadModel
+
+    cfg = GPTConfig(
+        vocab_size=128, hidden_size=64, num_hidden_layers=2,
+        num_attention_heads=4, num_attention_heads_kv=2,
+        intermediate_size=128, max_position_embeddings=0,
+        rotary_emb_fraction=1.0, rms_norm=True,
+        activation_function="swiglu", tie_word_embeddings=False,
+        qkv_proj_bias=False, out_proj_bias=False,
+        mlp_fc1_bias=False, mlp_fc2_bias=False, dtype=jnp.float32,
+    )
+    model = GPTLMHeadModel(cfg)
+    rng = np.random.default_rng(0)
+    ids = jnp.zeros((1, 8), jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), ids)
+
+    hk = cfg.num_attention_heads_kv
+    d = cfg.hidden_size // cfg.num_attention_heads
+    engine = InferenceEngine(
+        model.apply, params,
+        num_layers=cfg.num_hidden_layers, num_kv_heads=hk, head_dim=d,
+        num_pages=64, page_size=128, max_batch=4, max_pages_per_seq=4,
+        dtype=jnp.float32,
+    )
+    prompts = [
+        rng.integers(0, cfg.vocab_size, (n,)).astype(np.int32)
+        for n in (5, 9, 3)
+    ]
+    for i, p in enumerate(prompts):
+        engine.add_request(Request(rid=i, prompt=p, max_new_tokens=6))
+    results = engine.run()
+    assert set(results) == {0, 1, 2}
+
+    # golden: per-request greedy decode with a contiguous cache
+    for i, prompt in enumerate(prompts):
+        caches = GPTLMHeadModel(cfg).allocate_kv_caches(
+            batch_size=1, max_seqlen=128, dtype=jnp.float32
+        )
+        toks = list(prompt)
+        out = []
+        n = len(prompt)
+        logits, caches = model.apply(
+            params, jnp.asarray([toks], jnp.int32), kv_caches=caches,
+            seqlen_offset=0,
+        )
+        tok = int(jnp.argmax(logits[0, n - 1]))
+        out.append(tok)
+        for step in range(5):
+            logits, caches = model.apply(
+                params, jnp.asarray([[tok]], jnp.int32), kv_caches=caches,
+                seqlen_offset=n + step,
+            )
+            tok = int(jnp.argmax(logits[0, 0]))
+            out.append(tok)
+        assert results[i] == out, (i, results[i], out)

@@ -1,0 +1,234 @@
+"""Continuous-batching inference engine over paged KV caches.
+
+Replaces the reference's CUDA-graph decode machinery
+(flash_attn/utils/generation.py:202-300 DecodingCGCache / capture_graph /
+seqlen bucketing): on TPU, one jitted decode step per batch-size bucket gives
+the same replay behavior (XLA caches the executable; shapes are static), and
+the paged allocator supplies what CUDA graphs cannot — requests of different
+lengths entering and leaving the batch without re-capture.
+
+Design:
+  * fixed `max_batch` slots; each active request owns a slot and a list of
+    physical pages (host-side free-list allocator — the scheduler is host
+    logic, the data never leaves HBM);
+  * prefill runs the model once per request (prompt padded to a bucket) with
+    a contiguous temporary cache, then the tokens are scattered into pages;
+  * decode steps run all active slots together: one token per slot through
+    the model with per-layer PagedKVCache and per-sample lengths;
+  * inactive slots keep lengths=0 so their kernels' KV loop exits after the
+    clamped first block (cheap) and their sampled tokens are discarded.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .paged import PagedKVCache
+
+__all__ = ["Request", "InferenceEngine"]
+
+
+@dataclasses.dataclass
+class Request:
+    rid: int
+    prompt: np.ndarray                  # (prompt_len,) int32
+    max_new_tokens: int = 32
+    temperature: float = 0.0            # 0 => greedy
+    eos_token_id: Optional[int] = None
+    # filled by the engine
+    output: List[int] = dataclasses.field(default_factory=list)
+    slot: int = -1
+    pages: List[int] = dataclasses.field(default_factory=list)
+
+
+def _bucket(n: int, buckets=(32, 64, 128, 256, 512, 1024, 2048, 4096)) -> int:
+    for b in buckets:
+        if n <= b:
+            return b
+    return -(-n // 4096) * 4096
+
+
+class InferenceEngine:
+    """model_apply(params, input_ids, kv_caches, seqlen_offset)
+    -> (logits, new_kv_caches); GPTLMHeadModel.apply fits directly."""
+
+    def __init__(
+        self,
+        model_apply: Callable,
+        params: Any,
+        *,
+        num_layers: int,
+        num_kv_heads: int,
+        head_dim: int,
+        num_pages: int = 256,
+        page_size: int = 128,
+        max_batch: int = 8,
+        max_pages_per_seq: int = 32,
+        dtype=jnp.bfloat16,
+    ):
+        self.model_apply = model_apply
+        self.params = params
+        self.page_size = page_size
+        self.max_batch = max_batch
+        self.max_pages_per_seq = max_pages_per_seq
+        self.trash_page = num_pages - 1  # sink for inactive-slot appends
+        self.caches = []
+        for _ in range(num_layers):
+            c = PagedKVCache.create(
+                num_pages, num_kv_heads, page_size, head_dim,
+                max_batch, max_pages_per_seq, dtype,
+            )
+            c.page_table = jnp.full_like(c.page_table, self.trash_page)
+            self.caches.append(c)
+        self.free_pages = list(range(num_pages - 2, -1, -1))
+        self.slots: List[Optional[Request]] = [None] * max_batch
+        self.waiting: List[Request] = []
+        self.finished: List[Request] = []
+        self._decode_fn = None
+        self._last_tokens = np.zeros((max_batch,), np.int32)
+        self._rng = np.random.default_rng(0)
+
+    # ---- paging -----------------------------------------------------------
+
+    def _alloc_page(self, req: Request) -> int:
+        if not self.free_pages:
+            raise RuntimeError("out of KV pages")
+        p = self.free_pages.pop()
+        req.pages.append(p)
+        blk = len(req.pages) - 1
+        for c in self.caches:
+            c.page_table = c.page_table.at[req.slot, blk].set(p)
+        return p
+
+    def _release(self, req: Request):
+        self.free_pages.extend(req.pages)
+        req.pages.clear()
+        for c in self.caches:
+            c.lengths = c.lengths.at[req.slot].set(0)
+            c.page_table = c.page_table.at[req.slot].set(self.trash_page)
+        self.slots[req.slot] = None
+        req.slot = -1
+
+    # ---- scheduling -------------------------------------------------------
+
+    def add_request(self, req: Request):
+        self.waiting.append(req)
+
+    def _admit(self):
+        for i in range(self.max_batch):
+            if not self.waiting:
+                break
+            if self.slots[i] is None:
+                req = self.waiting.pop(0)
+                req.slot = i
+                self.slots[i] = req
+                self._prefill(req)
+
+    # ---- prefill ----------------------------------------------------------
+
+    def _prefill(self, req: Request):
+        prompt = np.asarray(req.prompt, np.int32)
+        n = len(prompt)
+        cap = _bucket(n)
+        ids = np.zeros((1, cap), np.int32)
+        ids[0, :n] = prompt
+        # contiguous scratch cache for the prompt, then scatter into pages
+        hk = self.caches[0].k_pages.shape[1]
+        d = self.caches[0].k_pages.shape[3]
+        dt = self.caches[0].k_pages.dtype
+        scratch = [
+            (jnp.zeros((1, hk, cap, d), dt), jnp.zeros((1, hk, cap, d), dt))
+            for _ in self.caches
+        ]
+        seg = (np.arange(cap) < n).astype(np.int32)[None]
+        logits, new_caches = self.model_apply(
+            self.params, jnp.asarray(ids), kv_caches=scratch,
+            seqlen_offset=0, segment_ids=jnp.asarray(seg),
+        )
+        nblocks = -(-n // self.page_size)
+        while len(req.pages) < nblocks:
+            self._alloc_page(req)
+        for li, (kc, vc) in enumerate(new_caches):
+            c = self.caches[li]
+            for blk in range(nblocks):
+                p = req.pages[blk]
+                s = blk * self.page_size
+                c.k_pages = jax.lax.dynamic_update_slice(
+                    c.k_pages, kc[:, :, s:s + self.page_size], (p, 0, 0, 0)
+                )
+                c.v_pages = jax.lax.dynamic_update_slice(
+                    c.v_pages, vc[:, :, s:s + self.page_size], (p, 0, 0, 0)
+                )
+            c.lengths = c.lengths.at[req.slot].set(n)
+        tok = self._sample(np.asarray(logits[0, n - 1]), req)
+        req.output.append(tok)
+        self._last_tokens[req.slot] = tok
+
+    # ---- decode -----------------------------------------------------------
+
+    def _sample(self, logits: np.ndarray, req: Request) -> int:
+        if req.temperature <= 0.0:
+            return int(np.argmax(logits))
+        p = np.exp((logits - logits.max()) / req.temperature)
+        p = p / p.sum()
+        return int(self._rng.choice(len(p), p=p))
+
+    def _build_decode(self):
+        apply = self.model_apply
+
+        def step(params, tokens, caches):
+            lengths = caches[0].lengths
+            logits, new_caches = apply(
+                params, tokens[:, None], kv_caches=caches,
+                seqlen_offset=lengths,
+            )
+            return logits[:, 0], new_caches
+
+        return jax.jit(step)
+
+    def step(self) -> List[Request]:
+        """Admit waiting requests, run one decode step, return newly
+        finished requests."""
+        self._admit()
+        active = [r for r in self.slots if r is not None]
+        if not active:
+            done, self.finished = self.finished, []
+            return done
+        # ensure a page exists for the next token of each active slot
+        for r in active:
+            need = (len(r.prompt) + len(r.output)) // self.page_size + 1
+            while len(r.pages) < min(need, self.max_pages_per_seq):
+                self._alloc_page(r)
+        if self._decode_fn is None:
+            self._decode_fn = self._build_decode()
+        logits, new_caches = self._decode_fn(
+            self.params, jnp.asarray(self._last_tokens), self.caches
+        )
+        self.caches = new_caches
+        logits_np = np.asarray(logits)
+        for r in active:
+            tok = self._sample(logits_np[r.slot], r)
+            r.output.append(tok)
+            self._last_tokens[r.slot] = tok
+            done = (
+                len(r.output) >= r.max_new_tokens
+                or (r.eos_token_id is not None and tok == r.eos_token_id)
+            )
+            if done:
+                self._release(r)
+                self.finished.append(r)
+        done, self.finished = self.finished, []
+        return done
+
+    def run(self) -> Dict[int, List[int]]:
+        """Drive until every queued request completes."""
+        results: Dict[int, List[int]] = {}
+        while self.waiting or any(s is not None for s in self.slots):
+            for r in self.step():
+                results[r.rid] = r.output
+        return results

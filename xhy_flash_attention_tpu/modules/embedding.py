@@ -62,8 +62,13 @@ class GPT2Embeddings(nn.Module):
             x = reduce_from_tp_region(x, self.tp_axis)
         if self.max_position_embeddings > 0:
             if position_ids is None:
-                position_ids = seqlen_offset + jnp.arange(s, dtype=jnp.int32)
-                position_ids = jnp.broadcast_to(position_ids, (b, s))
+                off = jnp.asarray(seqlen_offset)
+                if off.ndim == 1:  # per-sample offsets (ragged decode)
+                    position_ids = off[:, None] + jnp.arange(s, dtype=jnp.int32)
+                else:
+                    position_ids = jnp.broadcast_to(
+                        off + jnp.arange(s, dtype=jnp.int32), (b, s)
+                    )
             pos_emb = nn.Embed(
                 self.max_position_embeddings, self.embed_dim,
                 dtype=self.dtype, embedding_init=init,

@@ -112,18 +112,30 @@ class MHA(nn.Module):
             kv = self.Wkv(kv_in).reshape(b, -1, 2, hk, d)
             k, v = kv[:, :, 0], kv[:, :, 1]
 
+        from ..inference.paged import PagedKVCache
+
+        paged = isinstance(kv_cache, PagedKVCache)
         if self.rotary_emb_dim > 0:
             cos, sin, cos_k, sin_k = self.rotary.cos_sin(
                 sq, q.dtype,
                 offset=seqlen_offset if isinstance(seqlen_offset, int) else 0,
             )
             if not isinstance(seqlen_offset, int):
-                # traced offset (decode): rebuild at absolute positions
+                # traced offset (decode): rebuild at absolute positions;
+                # a (b,) offset vector (ragged continuous batching) yields
+                # per-sample (b, sq, ro/2) tables, broadcast over heads
+                if paged:
+                    max_pos = kv_cache.page_table.shape[1] * kv_cache.page_size
+                else:
+                    max_pos = kv_cache[0].shape[2] if kv_cache is not None else sq
                 cos_full, sin_full, _, _ = self.rotary.cos_sin(
-                    kv_cache[0].shape[2] if kv_cache is not None else sq,
-                    q.dtype,
+                    max_pos, q.dtype,
                 )
-                idx = seqlen_offset + jnp.arange(sq)
+                off = jnp.asarray(seqlen_offset)
+                if off.ndim == 1:
+                    idx = off[:, None] + jnp.arange(sq)
+                else:
+                    idx = off + jnp.arange(sq)
                 cos = jnp.take(cos_full, idx, axis=0)
                 sin = jnp.take(sin_full, idx, axis=0)
             from ..layers.rotary import apply_rotary_emb
@@ -137,6 +149,23 @@ class MHA(nn.Module):
             )
 
         new_cache = None
+        if paged:
+            # continuous-batching decode against a paged cache
+            # (≙ FA3 paged-KV + append-KV decode, flash_api.h:100-150)
+            from ..inference.paged import append_paged_kv, paged_flash_decode
+
+            assert sq == 1, "paged path is decode-only (sq == 1)"
+            cache = append_paged_kv(
+                kv_cache, jnp.swapaxes(k, 1, 2), jnp.swapaxes(v, 1, 2)
+            )
+            out = paged_flash_decode(
+                q, cache,
+                softmax_scale=self.softmax_scale or d ** -0.5,
+                window_size=self.window_size,
+                softcap=self.softcap,
+            )
+            out = self.out_proj(out.reshape(b, sq, h * d))
+            return out, cache
         if kv_cache is not None:
             from ..ops.quant import QuantizedKV, quantize_kv
 
