@@ -127,7 +127,7 @@ def _splitkv_kernel(lens_ref, *refs,
         l_ref[0, 0, 0] = l_scr[:, :8]
 
 
-def flash_decode_splitkv(
+def _splitkv_raw(
     q: jax.Array,
     k_cache: jax.Array,
     v_cache: jax.Array,
@@ -139,12 +139,10 @@ def flash_decode_splitkv(
     softcap: float = 0.0,
     block_k: int = 512,
     interpret: Optional[bool] = None,
-) -> jax.Array:
-    """Split-KV flash decode: q (b, sq, h, d), caches (b, hk, S, d).
-
-    num_splits=0 picks the FA3-style heuristic; 1 falls back to a single
-    sequential pass (≙ flash_decode).
-    """
+):
+    """Per-split partials: (outs, ms, ls) with outs
+    (b, hk, splits, rows_p, d) normalized fp32 and ms/ls
+    (b, hk, splits, rows_p, 8)."""
     b, sq, h, d = q.shape
     hk, S = k_cache.shape[1], k_cache.shape[2]
     g = h // hk
@@ -220,9 +218,55 @@ def flash_decode_splitkv(
         ),
         interpret=interpret_mode() if interpret is None else interpret,
     )(jnp.asarray(lengths, jnp.int32), qr, k_cache, v_cache)
+    return outs, ms, ls
 
+
+def flash_decode_splitkv(
+    q: jax.Array,
+    k_cache: jax.Array,
+    v_cache: jax.Array,
+    lengths: jax.Array,
+    *,
+    softmax_scale: Optional[float] = None,
+    num_splits: int = 0,
+    window_size: Tuple[int, int] = (-1, -1),
+    softcap: float = 0.0,
+    block_k: int = 512,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """Split-KV flash decode: q (b, sq, h, d), caches (b, hk, S, d).
+
+    num_splits=0 picks the FA3-style heuristic; 1 falls back to a single
+    sequential pass (≙ flash_decode).
+    """
+    b, sq, h, d = q.shape
+    hk = k_cache.shape[1]
+    g = h // hk
+    rows = sq * g
+    outs, ms, ls = _splitkv_raw(
+        q, k_cache, v_cache, lengths,
+        softmax_scale=softmax_scale, num_splits=num_splits,
+        window_size=window_size, softcap=softcap, block_k=block_k,
+        interpret=interpret,
+    )
     out, _, _ = merge_attention_partials(
         outs, ms[..., :1], ls[..., :1], axis=2
     )
     out = out[:, :, :rows].reshape(b, hk, sq, g, d).transpose(0, 2, 1, 3, 4)
     return out.reshape(b, sq, h, d).astype(q.dtype)
+
+
+def _splitkv_partials(
+    q, k_cache, v_cache, lengths, *,
+    softmax_scale=None, window_size=(-1, -1), softcap=0.0, block_k=512,
+    interpret=None,
+):
+    """Single-split partials for cross-chip merging (parallel/ring.py
+    sharded_kv_decode): out (b, hk, rows_p, d) fp32, m/l (b, hk, rows_p, 1)."""
+    outs, ms, ls = _splitkv_raw(
+        q, k_cache, v_cache, lengths,
+        softmax_scale=softmax_scale, num_splits=1,
+        window_size=window_size, softcap=softcap, block_k=block_k,
+        interpret=interpret,
+    )
+    return outs[:, :, 0], ms[:, :, 0, :, :1], ls[:, :, 0, :, :1]

@@ -58,7 +58,7 @@ def _recompute_p_ds(
     *,
     sm_scale, softcap, dropout_p, rng_block,
     q_start, c_start, seqlen_k, has_right, has_left, window, offset,
-    apply_position_mask, fm_mode=None, fmv=None,
+    apply_position_mask, fm_mode=None, fmv=None, qpos=None, kpos=None,
 ):
     """Shared recompute: returns (p_dropped_T-ready p, ds_scaled).
 
@@ -87,6 +87,8 @@ def _recompute_p_ds(
             mask = jnp.logical_and(
                 mask, jnp.logical_not(fm_banned(fm_mode, fmv, rows))
             )
+        if qpos is not None:
+            mask = jnp.logical_and(mask, kpos <= qpos)
         s = jnp.where(mask, s, NEG_INF)
     if qseg is not None:
         s = jnp.where(qseg == kseg, s, NEG_INF)  # (bq,1) vs (1,bk)
@@ -126,6 +128,10 @@ def _bwd_dkv_kernel(refs, *, params):
     has_blockmask = params.get("has_blockmask", False)
     if has_blockmask:
         bm_ref = next(it)
+    has_positions = params.get("has_positions", False)
+    if has_positions:
+        qpstats_ref = next(it)
+        kpstats_ref = next(it)
     q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref = (
         next(it), next(it), next(it), next(it), next(it), next(it),
     )
@@ -133,6 +139,8 @@ def _bwd_dkv_kernel(refs, *, params):
     qseg_ref = next(it) if params["has_segments"] else None
     kseg_ref = next(it) if params["has_segments"] else None
     fm_ref = next(it) if fm_mode is not None else None
+    qpos_ref = next(it) if has_positions else None
+    kpos_ref = next(it) if has_positions else None
     dk_ref = next(it)
     dv_ref = next(it)
     dbias_ref = next(it) if params["has_bias"] else None
@@ -199,6 +207,14 @@ def _bwd_dkv_kernel(refs, *, params):
             * params["num_kv_blocks"]
         should_run = jnp.logical_and(should_run, bm_ref[bbase + ikv] != 0)
 
+    if has_positions:
+        q_lo = qpstats_ref[(b_idx * params["num_q_blocks"] + iq) * 2]
+        q_hi = qpstats_ref[(b_idx * params["num_q_blocks"] + iq) * 2 + 1]
+        k_lo = kpstats_ref[(b_idx * params["num_kv_blocks"] + ikv) * 2]
+        k_hi = kpstats_ref[(b_idx * params["num_kv_blocks"] + ikv) * 2 + 1]
+        should_run = jnp.logical_and(should_run, k_lo <= q_hi)
+        fully_unmasked = jnp.logical_and(fully_unmasked, k_hi <= q_lo)
+
     def body(apply_position_mask):
         q = q_ref[0, 0]
         do = do_ref[0, 0]
@@ -222,6 +238,8 @@ def _bwd_dkv_kernel(refs, *, params):
             offset=offset, apply_position_mask=apply_position_mask,
             fm_mode=fm_mode if apply_position_mask else None,
             fmv=fm_ref[0, 0] if fm_ref is not None else None,
+            qpos=qpos_ref[0] if (has_positions and apply_position_mask) else None,
+            kpos=kpos_ref[0] if (has_positions and apply_position_mask) else None,
         )
         if dbias_ref is not None:
             dbias_ref[0, 0] = ds_raw
@@ -242,7 +260,7 @@ def _bwd_dkv_kernel(refs, *, params):
     needs_branch = (
         has_right or has_left
         or (sk % bk != 0) or (sq % bq != 0)
-        or fm_mode is not None
+        or fm_mode is not None or has_positions
     )
     if needs_branch:
         @pl.when(jnp.logical_and(should_run, fully_unmasked))
@@ -279,6 +297,10 @@ def _bwd_dq_kernel(refs, *, params):
     has_blockmask = params.get("has_blockmask", False)
     if has_blockmask:
         bm_ref = next(it)
+    has_positions = params.get("has_positions", False)
+    if has_positions:
+        qpstats_ref = next(it)
+        kpstats_ref = next(it)
     q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref = (
         next(it), next(it), next(it), next(it), next(it), next(it),
     )
@@ -286,6 +308,8 @@ def _bwd_dq_kernel(refs, *, params):
     qseg_ref = next(it) if params["has_segments"] else None
     kseg_ref = next(it) if params["has_segments"] else None
     fm_ref = next(it) if fm_mode is not None else None
+    qpos_ref = next(it) if has_positions else None
+    kpos_ref = next(it) if has_positions else None
     dq_ref = next(it)
     dq_scr = next(it)
 
@@ -347,6 +371,14 @@ def _bwd_dq_kernel(refs, *, params):
             * params["num_kv_blocks"]
         should_run = jnp.logical_and(should_run, bm_ref[bbase + ikv] != 0)
 
+    if has_positions:
+        q_lo = qpstats_ref[(b_idx * params["num_q_blocks"] + iq) * 2]
+        q_hi = qpstats_ref[(b_idx * params["num_q_blocks"] + iq) * 2 + 1]
+        k_lo = kpstats_ref[(b_idx * nkv + ikv) * 2]
+        k_hi = kpstats_ref[(b_idx * nkv + ikv) * 2 + 1]
+        should_run = jnp.logical_and(should_run, k_lo <= q_hi)
+        fully_unmasked = jnp.logical_and(fully_unmasked, k_hi <= q_lo)
+
     def body(apply_position_mask):
         q = q_ref[0, 0]
         rng_block = None
@@ -368,6 +400,8 @@ def _bwd_dq_kernel(refs, *, params):
             offset=offset, apply_position_mask=apply_position_mask,
             fm_mode=fm_mode if apply_position_mask else None,
             fmv=fm_ref[0, 0] if fm_ref is not None else None,
+            qpos=qpos_ref[0] if (has_positions and apply_position_mask) else None,
+            kpos=kpos_ref[0] if (has_positions and apply_position_mask) else None,
         )
         # dQ += dS @ K
         dq_scr[...] += jax.lax.dot_general(
@@ -377,6 +411,7 @@ def _bwd_dq_kernel(refs, *, params):
 
     needs_branch = (
         has_right or has_left or (sk % bk != 0) or fm_mode is not None
+        or has_positions
     )
     if needs_branch:
         @pl.when(jnp.logical_and(should_run, fully_unmasked))
@@ -418,6 +453,8 @@ def flash_attention_bwd(
     flashmask_vecs: Optional[jax.Array] = None,
     flashmask_mode: Optional[str] = None,
     block_mask=None,
+    q_positions: Optional[jax.Array] = None,
+    kv_positions: Optional[jax.Array] = None,
 ):
     """Backward flash attention on (b, h, s, d) tensors.
 
@@ -443,6 +480,7 @@ def flash_attention_bwd(
     fm_heads = flashmask_vecs.shape[1] if has_flashmask else 1
     has_blockmask = block_mask is not None
     bm_heads = block_mask[0].shape[1] if has_blockmask else 1
+    has_positions = q_positions is not None
 
     if has_bias:
         bias = jnp.asarray(bias)
@@ -511,6 +549,18 @@ def flash_attention_bwd(
                 lambda b_, h_, i, j, *_: (b_, h_ // fm_g, 0, kv_index(i, j)),
             ))
             inputs.append(fmp)
+        if has_positions:
+            from .common import pos_pad_and_stats
+
+            qposp, _ = pos_pad_and_stats(q_positions, bq)
+            kposp, _ = pos_pad_and_stats(kv_positions, bk)
+            specs.append(pl.BlockSpec(
+                (1, bq, 1), lambda b_, h_, i, j, *_: (b_, q_index(i, j), 0)
+            ))
+            specs.append(pl.BlockSpec(
+                (1, 1, bk), lambda b_, h_, i, j, *_: (b_, 0, kv_index(i, j))
+            ))
+            inputs.extend([qposp[:, :, None], kposp[:, None, :]])
         return inputs, specs, qp.shape[2], kp.shape[2]
 
     num_prefetch = 0
@@ -522,6 +572,17 @@ def flash_attention_bwd(
         num_prefetch += 1
     if has_blockmask:
         num_prefetch += 1
+    if has_positions:
+        num_prefetch += 2
+
+    def pos_prefetch(bq, bk):
+        if not has_positions:
+            return []
+        from .common import pos_pad_and_stats
+
+        _, qst = pos_pad_and_stats(q_positions, bq)
+        _, kst = pos_pad_and_stats(kv_positions, bk)
+        return [qst, kst]
 
     def fm_prefetch(bk):
         if not has_flashmask:
@@ -567,6 +628,7 @@ def flash_attention_bwd(
         fm_heads=fm_heads,
         has_blockmask=has_blockmask,
         bm_heads=bm_heads,
+        has_positions=has_positions,
     )
     out_specs1 = [
         pl.BlockSpec((1, 1, bk1, d), lambda b_, h_, ikv, iq, *_: (b_, h_, ikv, 0)),
@@ -603,7 +665,7 @@ def flash_attention_bwd(
         ),
         interpret=interp,
     )(*seed_input, *fm_prefetch(bk1), *bm_prefetch(bq1, bk1, nq1, nkv1),
-      *inputs1)
+      *pos_prefetch(bq1, bk1), *inputs1)
     dk_ph, dv_ph = results1[0], results1[1]
     dbias = None
     if has_bias:
@@ -666,7 +728,7 @@ def flash_attention_bwd(
         ),
         interpret=interp,
     )(*seed_input, *fm_prefetch(bk2), *bm_prefetch(bq2, bk2, nq2, nkv2),
-      *inputs2)
+      *pos_prefetch(bq2, bk2), *inputs2)
     dq = dq[:, :, :sq]
     return dq, dk, dv, dbias
 

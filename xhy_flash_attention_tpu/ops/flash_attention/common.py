@@ -233,6 +233,29 @@ def fm_pad_vecs(vecs: jax.Array, mode: str, block_k: int) -> jax.Array:
     return jnp.concatenate([vecs.astype(jnp.int32), pads], axis=-1)
 
 
+POS_PAD = 2 ** 30
+
+
+def pos_pad_and_stats(positions: jax.Array, block: int):
+    """Pad (b, s) int32 global positions to a block multiple with POS_PAD
+    (reads as "never attended / attends nothing real") and compute per-block
+    [min, max] flattened int32 for scalar prefetch.
+
+    Positions drive causal masking with *traced* offsets (ring attention /
+    context parallelism), where the kernels' static seqlen offset can't.
+    """
+    p = jnp.asarray(positions, jnp.int32)
+    b, s = p.shape
+    sp = round_up(s, block)
+    if sp != s:
+        p = jnp.concatenate(
+            [p, jnp.full((b, sp - s), POS_PAD, jnp.int32)], axis=1
+        )
+    r = p.reshape(b, sp // block, block)
+    stats = jnp.stack([r.min(-1), r.max(-1)], axis=-1)  # (b, nblk, 2)
+    return p, stats.reshape(-1).astype(jnp.int32)
+
+
 def expand_block_mask(
     mask: jax.Array, gq: int, gk: int, bq: int, bk: int, nq: int, nkv: int,
     batch: int,

@@ -77,6 +77,7 @@ def _fwd_kernel(
     has_blockmask: bool = False,
     bm_heads: int = 1,
     num_q_blocks: int = 1,
+    has_positions: bool = False,
 ):
     it = iter(refs)
     if dropout_p > 0.0:
@@ -85,6 +86,9 @@ def _fwd_kernel(
         fmstats_ref = next(it)
     if has_blockmask:
         bm_ref = next(it)
+    if has_positions:
+        qpstats_ref = next(it)
+        kpstats_ref = next(it)
     q_ref = next(it)
     k_ref = next(it)
     v_ref = next(it)
@@ -92,6 +96,8 @@ def _fwd_kernel(
     qseg_ref = next(it) if has_segments else None
     kseg_ref = next(it) if has_segments else None
     fm_ref = next(it) if fm_mode is not None else None
+    qpos_ref = next(it) if has_positions else None
+    kpos_ref = next(it) if has_positions else None
     o_ref = next(it)
     lse_ref = next(it) if need_lse else None
     m_scr = next(it)
@@ -159,6 +165,18 @@ def _fwd_kernel(
         bbase = ((b_idx * bm_heads + bm_idx) * num_q_blocks + iq) * num_kv_blocks
         should_run = jnp.logical_and(should_run, bm_ref[bbase + ikv] != 0)
 
+    if has_positions:
+        # Global-position causal masking (ring attention / context
+        # parallelism: positions carry the sequence-shard offsets, which are
+        # traced values — unlike the static `offset`). Block-level skip and
+        # elementwise bypass from scalar-prefetched per-block [min, max].
+        q_lo = qpstats_ref[(b_idx * num_q_blocks + iq) * 2]
+        q_hi = qpstats_ref[(b_idx * num_q_blocks + iq) * 2 + 1]
+        k_lo = kpstats_ref[(b_idx * num_kv_blocks + ikv) * 2]
+        k_hi = kpstats_ref[(b_idx * num_kv_blocks + ikv) * 2 + 1]
+        should_run = jnp.logical_and(should_run, k_lo <= q_hi)
+        fully_unmasked = jnp.logical_and(fully_unmasked, k_hi <= q_lo)
+
     def body(apply_position_mask: bool):
         q = q_ref[0, 0]
         k = k_ref[0, 0]
@@ -186,6 +204,10 @@ def _fwd_kernel(
                 mask = jnp.logical_and(
                     mask, jnp.logical_not(fm_banned(fm_mode, fm_ref[0, 0], rows))
                 )
+            if has_positions:
+                qpos = qpos_ref[0]   # (bq, 1)
+                kpos = kpos_ref[0]   # (1, bk)
+                mask = jnp.logical_and(mask, kpos <= qpos)
             s = jnp.where(mask, s, NEG_INF)
         if has_segments:
             qseg = qseg_ref[0]        # (bq, 1)
@@ -232,7 +254,7 @@ def _fwd_kernel(
 
     needs_branch = (
         has_right or has_left or (seqlen_k % block_k != 0)
-        or fm_mode is not None
+        or fm_mode is not None or has_positions
     )
     if needs_branch:
         @pl.when(jnp.logical_and(should_run, fully_unmasked))
@@ -281,6 +303,8 @@ def flash_attention_fwd(
     flashmask_vecs: Optional[jax.Array] = None,
     flashmask_mode: Optional[str] = None,
     block_mask: Optional[jax.Array] = None,
+    q_positions: Optional[jax.Array] = None,
+    kv_positions: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, Optional[jax.Array]]:
     """Forward flash attention on (batch, heads, seq, head_dim) inputs.
 
@@ -345,6 +369,14 @@ def flash_attention_fwd(
         assert h % bm_heads == 0, (h, bm_heads)
         inputs.append(expand_block_mask(bmask, gq, gk, bq, bk, nq, nkv, b))
         num_scalar_prefetch += 1
+    has_positions = q_positions is not None
+    if has_positions:
+        from .common import pos_pad_and_stats
+
+        qposp, qpstats = pos_pad_and_stats(q_positions, bq)
+        kposp, kpstats = pos_pad_and_stats(kv_positions, bk)
+        inputs.extend([qpstats, kpstats])
+        num_scalar_prefetch += 2
     inputs.extend([qp, kp, vp])
     in_specs.extend([
         pl.BlockSpec((1, 1, bq, d), lambda b_, h_, iq, ikv, *_: (b_, h_, iq, 0)),
@@ -407,6 +439,18 @@ def flash_attention_fwd(
             )
         )
         inputs.append(fmp)
+    if has_positions:
+        # same layouts as segment ids: q on sublanes, kv on lanes
+        in_specs.append(
+            pl.BlockSpec((1, bq, 1), lambda b_, h_, iq, ikv, *_: (b_, iq, 0))
+        )
+        in_specs.append(
+            pl.BlockSpec(
+                (1, 1, bk),
+                lambda b_, h_, iq, ikv, *_: (b_, 0, kv_index(iq, ikv)),
+            )
+        )
+        inputs.extend([qposp[:, :, None], kposp[:, None, :]])
 
     out_shape = [jax.ShapeDtypeStruct((b, h, sqp, d), q.dtype)]
     out_specs = [
@@ -441,6 +485,7 @@ def flash_attention_fwd(
         has_blockmask=has_blockmask,
         bm_heads=bm_heads if has_blockmask else 1,
         num_q_blocks=nq,
+        has_positions=has_positions,
     )
 
     grid = (b, h, nq, nkv)
