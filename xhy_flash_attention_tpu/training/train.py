@@ -1,0 +1,239 @@
+"""Train driver (≙ reference training/run.py + src/train.py + tasks/seq.py).
+
+The reference drives PyTorch-Lightning: Hydra instantiates a SequenceLMModel
+task, Trainer.fit spawns one process per GPU with NCCL DDP, and callbacks
+handle speed/FLOPs/ckpt. Here the same responsibilities are a single jitted
+train step over a jax Mesh:
+
+  * DDP           -> `dp` mesh axis, gradient pmean inside shard_map
+  * Megatron TP/SP-> `tp` mesh axis via parallel/tp.py sharding rules
+  * ZeRO-1        -> optimizer state shards like its parameter under the
+                     same NamedSharding (jit partitions the update;
+                     ≙ ddp_zero1.py's ZeroRedundancyOptimizer)
+  * auto-resume   -> newest checkpoint in ckpt_dir (≙ train.py:70-92
+                     last.ckpt/.pl_auto_save.ckpt logic), exact data order
+                     via the datamodule's integer step cursor
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+from pathlib import Path
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..losses.cross_entropy import cross_entropy_loss
+from ..models.gpt import GPTConfig, GPTLMHeadModel
+from .callbacks import NumTokens, Perplexity, SpeedMonitor, gpt_flops_per_token, grad_norm
+from .config import TrainConfig, model_dtype
+from .data import LMDataModule
+from .optim import make_optimizer
+
+__all__ = ["Trainer", "train"]
+
+
+class Trainer:
+    def __init__(self, cfg: TrainConfig):
+        self.cfg = cfg
+        self.dtype = model_dtype(cfg)
+        self.model_cfg = GPTConfig(**{**cfg.model, "dtype": self.dtype})
+        self.model = GPTLMHeadModel(self.model_cfg)
+        self.data = LMDataModule(
+            cfg.data.path, cfg.data.seqlen, cfg.data.batch_size,
+            seed=cfg.data.seed, dtype=np.dtype(cfg.data.dtype),
+        )
+        self.opt = make_optimizer(cfg.optimizer, cfg.scheduler)
+        self.step = 0
+        self.num_tokens = NumTokens()
+        self.ppl = Perplexity()
+        self.params = None
+        self.opt_state = None
+        dp, tp = cfg.mesh
+        self.mesh = None
+        if dp * tp > 1:
+            from ..parallel import make_mesh
+
+            self.mesh = make_mesh(dp=dp, tp=tp)
+        self._step_fn = None
+
+    # ---- setup ----------------------------------------------------------
+
+    def init_params(self, rng: Optional[jax.Array] = None):
+        rng = rng if rng is not None else jax.random.PRNGKey(self.cfg.seed)
+        ids = jnp.zeros((2, 8), jnp.int32)
+        self.params = self.model.init(rng, ids)
+        self.opt_state = self.opt.init(self.params)
+
+    def _loss_fn(self, params, ids, labels):
+        logits, _ = self.model.apply(params, ids)
+        losses = cross_entropy_loss(
+            logits.reshape(-1, logits.shape[-1]).astype(jnp.float32),
+            labels.reshape(-1),
+        )
+        return losses.mean()
+
+    def _build_step(self):
+        if self.mesh is not None:
+            return self._build_step_mesh()
+
+        def step_fn(params, opt_state, ids, labels):
+            loss, grads = jax.value_and_grad(self._loss_fn)(
+                params, ids, labels
+            )
+            gnorm = grad_norm(grads)
+            updates, opt_state = self.opt.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, loss, gnorm
+
+        return jax.jit(step_fn, donate_argnums=(0, 1))
+
+    def _build_step_mesh(self):
+        from jax import shard_map
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..parallel.tp import local_config, shard_gpt_params
+
+        dp, tp = self.cfg.mesh
+        lc = local_config(self.model_cfg, tp,
+                          sequence_parallel=self.cfg.sequence_parallel)
+        model_tp = GPTLMHeadModel(lc)
+        params_tp, specs = shard_gpt_params(
+            self.params, self.model_cfg, tp, self.mesh
+        )
+        # commit params to their NamedShardings; optimizer moments then
+        # inherit the layout from zeros_like at init — ZeRO-1 for free
+        # (≙ ddp_zero1.py ZeroRedundancyOptimizer's per-rank shards)
+        self.params = jax.tree.map(
+            lambda x, s: jax.device_put(x, NamedSharding(self.mesh, s)),
+            params_tp, specs,
+        )
+        self.opt_state = self.opt.init(self.params)
+
+        def local_grads(p, ids, labels):
+            def local_loss(p):
+                logits, _ = model_tp.apply(p, ids)
+                v_local = logits.shape[-1]
+                vocab_start = jax.lax.axis_index("tp") * v_local
+                losses = cross_entropy_loss(
+                    logits.reshape(-1, v_local).astype(jnp.float32),
+                    labels.reshape(-1), 0.0, -100, 0.0, "tp", vocab_start,
+                )
+                return losses.mean()
+
+            loss, grads = jax.value_and_grad(local_loss)(p)
+            loss = jax.lax.pmean(loss, "dp")
+            grads = jax.tree.map(lambda g: jax.lax.pmean(g, "dp"), grads)
+            return loss, grads
+
+        grad_fn = shard_map(
+            local_grads,
+            mesh=self.mesh,
+            in_specs=(specs, P("dp", None), P("dp", None)),
+            out_specs=(P(), specs),
+            check_vma=False,
+        )
+
+        def step_fn(params, opt_state, ids, labels):
+            loss, grads = grad_fn(params, ids, labels)
+            gnorm = grad_norm(grads)
+            updates, opt_state = self.opt.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, loss, gnorm
+
+        return jax.jit(step_fn, donate_argnums=(0, 1))
+
+    # ---- checkpointing (≙ Lightning ckpt + ZeRO state save/load) ---------
+
+    def save_checkpoint(self, path: Optional[str] = None):
+        path = path or os.path.join(self.cfg.ckpt_dir, f"step_{self.step}.ckpt")
+        Path(path).parent.mkdir(parents=True, exist_ok=True)
+        payload = {
+            "step": self.step,
+            "params": jax.device_get(self.params),
+            "opt_state": jax.device_get(self.opt_state),
+            "data": self.data.state_dict(),
+            "num_tokens": self.num_tokens.state_dict(),
+        }
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            pickle.dump(payload, f)
+        os.replace(tmp, path)  # atomic (≙ fault-tolerant .pl_auto_save)
+        last = os.path.join(os.path.dirname(path), "last.ckpt")
+        try:
+            if os.path.islink(last) or os.path.exists(last):
+                os.remove(last)
+            os.symlink(os.path.basename(path), last)
+        except OSError:
+            pass
+        return path
+
+    def load_checkpoint(self, path: str):
+        with open(path, "rb") as f:
+            payload = pickle.load(f)
+        self.step = payload["step"]
+        self.params = jax.tree.map(jnp.asarray, payload["params"])
+        self.opt_state = jax.tree.map(jnp.asarray, payload["opt_state"])
+        self.data.load_state_dict(payload["data"])
+        self.num_tokens.load_state_dict(payload["num_tokens"])
+
+    def maybe_resume(self) -> bool:
+        last = os.path.join(self.cfg.ckpt_dir, "last.ckpt")
+        if self.cfg.resume and os.path.exists(last):
+            self.load_checkpoint(os.path.realpath(last))
+            return True
+        return False
+
+    # ---- loop -------------------------------------------------------------
+
+    def fit(self, max_steps: Optional[int] = None, log=print):
+        cfg = self.cfg
+        max_steps = max_steps or cfg.max_steps
+        if self.params is None and not self.maybe_resume():
+            self.init_params()
+        if self._step_fn is None:
+            self._step_fn = self._build_step()
+        tokens_per_step = cfg.data.batch_size * cfg.data.seqlen
+        mc = self.model_cfg
+        speed = SpeedMonitor(
+            tokens_per_step,
+            gpt_flops_per_token(
+                mc.num_hidden_layers, mc.hidden_size, cfg.data.seqlen,
+                mc.padded_vocab_size,
+                mc.intermediate_size or 4 * mc.hidden_size,
+            ),
+        )
+        it = iter(self.data)
+        while self.step < max_steps:
+            ids, labels = next(it)
+            self.params, self.opt_state, loss, gnorm = self._step_fn(
+                self.params, self.opt_state,
+                jnp.asarray(ids), jnp.asarray(labels),
+            )
+            self.step += 1
+            self.num_tokens.update(tokens_per_step)
+            stats = speed.step()
+            loss_f = float(loss)
+            self.ppl.update(loss_f * tokens_per_step, tokens_per_step)
+            if self.step % cfg.log_every == 0:
+                log(f"step {self.step} loss {loss_f:.4f} "
+                    f"gnorm {float(gnorm):.3f} "
+                    f"ppl {self.ppl.compute():.2f} "
+                    + " ".join(f"{k} {v:.3f}" for k, v in stats.items()))
+            if cfg.ckpt_every and self.step % cfg.ckpt_every == 0:
+                self.save_checkpoint()
+        return float(loss)
+
+
+def train(config_path: str, **overrides) -> Trainer:
+    """CLI-style entry (≙ training/run.py main)."""
+    from .config import load_config
+
+    cfg = load_config(config_path, overrides or None)
+    t = Trainer(cfg)
+    t.fit()
+    return t
