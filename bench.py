@@ -31,14 +31,17 @@ def _chip_peak() -> float:
     return 197e12
 
 
-def _timed_chain(step_fn, init, n, repeats=3):
+def _timed_chain(step_fn, init, n, repeats=5):
     """Marginal per-iteration time of a scan-chained computation.
 
     The axon tunnel makes block_until_ready a no-op and adds ~30ms fixed
     latency per dispatch, so we chain the op inside one jit via lax.scan,
     force sync with a scalar host transfer, and difference two chain
-    lengths to cancel the fixed overhead.
+    lengths to cancel the fixed overhead. Medians of each chain's repeats
+    are differenced (min-of-differences is biased fast by latency spikes).
     """
+    import statistics
+
     def chained(init, length):
         out, _ = jax.lax.scan(lambda c, _: (step_fn(c), None), init,
                               None, length=length)
@@ -49,12 +52,15 @@ def _timed_chain(step_fn, init, n, repeats=3):
     f1 = jax.jit(lambda x: chained(x, n1))
     f2 = jax.jit(lambda x: chained(x, n2))
     float(f1(init)); float(f2(init))  # compile + warm
-    best = float("inf")
+    t1s, t2s = [], []
     for _ in range(repeats):
         t0 = time.perf_counter(); float(f1(init)); t1 = time.perf_counter()
         float(f2(init)); t2 = time.perf_counter()
-        best = min(best, ((t2 - t1) - (t1 - t0)) / (n2 - n1))
-    return best
+        t1s.append(t1 - t0)
+        t2s.append(t2 - t1)
+    return max(
+        (statistics.median(t2s) - statistics.median(t1s)) / (n2 - n1), 1e-9
+    )
 
 
 def bench_attention_fwd(b=4, s=4096, h=16, d=128, causal=True, n=24):

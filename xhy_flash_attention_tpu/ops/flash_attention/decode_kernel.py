@@ -14,6 +14,12 @@ TPU design:
     `lengths` (≙ FA3 seqused_k + tile-scheduler early exit).
   * no dropout, no backward (inference only) — matching the reference decode
     kernels.
+
+Quantized-KV throughput (v5e, GQA 32/8 d=128 S=8k): bf16 ~90% of HBM BW,
+INT8 ~78% in int8 bytes (1.7x the bf16 tokens/s — the whole point of the
+quantized cache). FP8 e4m3 stays functional but slow on v5e: the chip has
+no fp8 hardware so the e4m3->bf16 convert is VPU-emulated; on v6e+ the
+same path uses the native convert.
 """
 
 from __future__ import annotations
@@ -57,11 +63,17 @@ def _decode_kernel(lens_ref, *refs,
         q = q_ref[0, 0]                      # (rows_p, d)
         k = k_ref[0, 0]                      # (block_k, d)
         if quantized:
-            # dequant fused right before the MXU (≙ FA3 k_descale)
-            k = (k.astype(jnp.float32) * ks_ref[0, 0]).astype(q.dtype)
+            # dequant fused right before the MXU (≙ FA3 k_descale). Scales
+            # are per token (rows of k), so s_ij = (q_i . k_j) * scale_j:
+            # fold them into the tiny (rows_p, block_k) score matrix after
+            # the matmul instead of rescaling the whole (block_k, d) tile —
+            # the convert is 1 VPU op/elem, the scale costs rows_p/d less.
+            k = k.astype(q.dtype)
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
+        if quantized:
+            s *= ks_ref[0, 0]  # (1, block_k) lane-major per-token scales
         s *= sm_scale
         if softcap > 0.0:
             s = jnp.tanh(s / softcap) * softcap
@@ -87,7 +99,9 @@ def _decode_kernel(lens_ref, *refs,
         m_scr[...] = m_next
         v = v_ref[0, 0]
         if quantized:
-            v = (v.astype(jnp.float32) * vs_ref[0, 0]).astype(q.dtype)
+            # p @ (v * vs) == (p * vs^T) @ v: scale the tiny p instead
+            p = p * vs_ref[0, 0]
+            v = v.astype(q.dtype)
         pv = jax.lax.dot_general(
             p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -110,12 +124,17 @@ def flash_decode(
     softmax_scale: float,
     window_size: Tuple[int, int] = (-1, -1),
     softcap: float = 0.0,
-    block_k: int = 512,
+    block_k: Optional[int] = None,
     interpret: Optional[bool] = None,
 ) -> jax.Array:
     """q: (b, sq, h, d); k/v_cache: (b, hk, S, d) arrays or QuantizedKV
     (int8/fp8 payload + per-token scales); lengths: (b,) int32 valid length
-    including the sq new tokens. Returns (b, sq, h, d)."""
+    including the sq new tokens. Returns (b, sq, h, d).
+
+    block_k default is adaptive: decode is HBM-bound and per-grid-step
+    overhead dominates small blocks (measured on v5e: 512 -> ~45% of HBM
+    bandwidth, 2048+ -> ~90%), so the block grows with the cache up to 2048.
+    """
     from ..quant import QuantizedKV
 
     quantized = isinstance(k_cache, QuantizedKV)
@@ -125,6 +144,8 @@ def flash_decode(
         v_cache, v_scales = v_cache.values, v_cache.scales
     b, sq, h, d = q.shape
     hk, S = k_cache.shape[1], k_cache.shape[2]
+    if block_k is None:
+        block_k = min(2048, round_up(S, 512))
     g = h // hk
     rows = sq * g
     rows_p = round_up(max(8, rows), 8)
@@ -141,11 +162,21 @@ def flash_decode(
         if quantized:
             k_scales = jnp.pad(k_scales, ((0, 0), (0, 0), (0, Sp - S), (0, 0)))
             v_scales = jnp.pad(v_scales, ((0, 0), (0, 0), (0, Sp - S), (0, 0)))
+    if quantized:
+        # lane-major (b, hk, 1, S) so the kernel reads (1, block_k) rows —
+        # a (block_k, 1) sublane-major block would need an in-kernel
+        # transpose (measured 2x decode slowdown)
+        k_scales = k_scales[..., 0][:, :, None, :]
+        v_scales = v_scales[..., 0][:, :, None, :]
     nkv = Sp // block_k
 
     def kv_index(b_, h_, ikv, lens_ref):
         hi = jnp.maximum((lens_ref[b_] - 1) // block_k, 0)
         return (b_, h_, jnp.minimum(ikv, hi), 0)
+
+    def sc_index(b_, h_, ikv, lens_ref):
+        hi = jnp.maximum((lens_ref[b_] - 1) // block_k, 0)
+        return (b_, h_, 0, jnp.minimum(ikv, hi))
 
     out = pl.pallas_call(
         functools.partial(
@@ -161,9 +192,9 @@ def flash_decode(
                 [pl.BlockSpec((1, 1, rows_p, d),
                               lambda b_, h_, ikv, *_: (b_, h_, 0, 0))]
                 + ([pl.BlockSpec((1, 1, block_k, d), kv_index),
-                    pl.BlockSpec((1, 1, block_k, 1), kv_index),
+                    pl.BlockSpec((1, 1, 1, block_k), sc_index),
                     pl.BlockSpec((1, 1, block_k, d), kv_index),
-                    pl.BlockSpec((1, 1, block_k, 1), kv_index)]
+                    pl.BlockSpec((1, 1, 1, block_k), sc_index)]
                    if quantized else
                    [pl.BlockSpec((1, 1, block_k, d), kv_index),
                     pl.BlockSpec((1, 1, block_k, d), kv_index)])

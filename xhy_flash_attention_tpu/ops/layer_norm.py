@@ -26,6 +26,7 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -426,3 +427,84 @@ def layer_norm(x, weight, bias, epsilon=1e-6):
 
 def rms_norm(x, weight, epsilon=1e-6):
     return dropout_add_rms_norm(x, None, weight, None, 0.0, epsilon)
+
+
+def dropout_add_layer_norm_parallel_residual(
+    x0, x1, residual, weight0, bias0, weight1, bias1, dropout_p, epsilon,
+    prenorm=False, residual_in_fp32=False, seed=None, is_rms=False,
+):
+    """Dual-norm parallel residual (≙ reference
+    dropout_add_ln_parallel_residual, csrc/layer_norm/ln_api.cpp:840-846,
+    used by GPT-J/NeoX-style blocks): one dropout-add of x0 (+ x1) into the
+    residual stream, then two independent norms of the same sum.
+
+    The sum is computed once through the fused kernel for norm0; norm1 is a
+    plain norm of the returned residual (XLA fuses it into the same pass —
+    no second HBM round-trip of the sum).
+    """
+    x0s = x0 if x1 is None else x0 + x1.astype(x0.dtype)
+    fused = dropout_add_rms_norm if is_rms else dropout_add_layer_norm
+    out0, resout = fused(
+        x0s, residual, weight0, bias0, dropout_p, epsilon,
+        prenorm=True, residual_in_fp32=residual_in_fp32, seed=seed,
+    )
+    if weight1 is None:
+        out1 = None
+    else:
+        plain = dropout_add_rms_norm if is_rms else dropout_add_layer_norm
+        out1 = plain(resout.astype(x0.dtype), None, weight1, bias1, 0.0,
+                     epsilon)
+    if prenorm:
+        return out0, out1, resout
+    return out0, out1
+
+
+def dropout_add_rms_norm_parallel_residual(
+    x0, x1, residual, weight0, bias0, weight1, bias1, dropout_p, epsilon,
+    prenorm=False, residual_in_fp32=False, seed=None,
+):
+    return dropout_add_layer_norm_parallel_residual(
+        x0, x1, residual, weight0, bias0, weight1, bias1, dropout_p, epsilon,
+        prenorm=prenorm, residual_in_fp32=residual_in_fp32, seed=seed,
+        is_rms=True,
+    )
+
+
+def dropout_add_layer_norm_subset(
+    x0, residual, weight, bias, dropout_p, epsilon,
+    layerscale=None, x0_subset=None, out_subset=None,
+    rowscale_const=1.0, out_numrows=0,
+    prenorm=False, residual_in_fp32=False, seed=None,
+):
+    """Subset in/out variant (≙ reference dropout_add_ln subset paths used by
+    BERT's masked-token MLM head): x0 rows are scattered into the residual at
+    `x0_subset` indices before the norm; only `out_subset` rows of the
+    normalized output are returned.
+
+    On TPU the scatter/gather are XLA ops fused around the same kernel; the
+    FLOP savings of the reference's subset kernel come from the gather
+    before the (large) head matmul, which the caller keeps.
+    """
+    h = weight.shape[-1]
+    if x0_subset is not None:
+        # x0 holds only the subset rows; scatter them into a zero stream at
+        # the given flattened row indices before the fused add+norm
+        n = int(np.prod(residual.shape[:-1]))
+        full = jnp.zeros((n, h), x0.dtype)
+        full = full.at[x0_subset.reshape(-1)].set(
+            x0.reshape(-1, h) * rowscale_const
+        )
+        x0 = full.reshape(residual.shape)
+    elif rowscale_const != 1.0:
+        x0 = x0 * rowscale_const
+    out = dropout_add_layer_norm(
+        x0, residual, weight, bias, dropout_p, epsilon,
+        prenorm=prenorm, residual_in_fp32=residual_in_fp32, seed=seed,
+    )
+    normed, resout = out if prenorm else (out, None)
+    if out_subset is not None:
+        rows = normed.reshape(-1, h)[out_subset.reshape(-1)]
+        if out_numrows:
+            rows = rows[:out_numrows]
+        normed = rows
+    return (normed, resout) if prenorm else normed

@@ -110,6 +110,35 @@ class NumTokens:
         self.count = int(s["count"])
 
 
+class EMA:
+    """Exponential moving average of params (≙ callbacks/ema.py).
+
+    Functional: `update` is jittable; `state` holds the averaged pytree.
+    """
+
+    def __init__(self, params, decay: float = 0.9999):
+        self.decay = float(decay)
+        self.state = jax.tree.map(
+            lambda p: p.astype(jnp.float32) if hasattr(p, "astype") else p,
+            params,
+        )
+
+    def update(self, params):
+        d = self.decay
+        self.state = jax.tree.map(
+            lambda e, p: e * d + p.astype(jnp.float32) * (1.0 - d),
+            self.state, params,
+        )
+        return self.state
+
+    def state_dict(self):
+        return {"decay": self.decay, "state": jax.device_get(self.state)}
+
+    def load_state_dict(self, s):
+        self.decay = s["decay"]
+        self.state = jax.tree.map(jnp.asarray, s["state"])
+
+
 def grad_norm(grads) -> jnp.ndarray:
     """Global L2 norm (≙ norm-monitor callback)."""
     leaves = jax.tree_util.tree_leaves(grads)
