@@ -61,6 +61,10 @@ class GPTConfig:
     mlp_fc2_bias: bool = True
     word_embed_proj_dim: Optional[int] = None
     initializer_range: float = 0.02
+    # mixture-of-experts MLP (Mixtral): 0 = dense MLP
+    num_local_experts: int = 0
+    num_experts_per_tok: int = 2
+    expert_parallel_axis: Optional[str] = None  # EP mesh axis in shard_map
     # inside shard_map: Megatron tensor/sequence parallelism (D2/D3)
     tensor_parallel_axis: Optional[str] = None
     sequence_parallel: bool = False
@@ -100,6 +104,20 @@ def _mixer_cls(config: GPTConfig):
 
 def _mlp_cls(config: GPTConfig):
     inner = config.intermediate_size or 4 * config.hidden_size
+    if config.num_local_experts > 0:
+        from ..modules.moe import MoEMlp
+
+        ep = config.expert_parallel_axis
+        e = config.num_local_experts
+        return functools.partial(
+            MoEMlp,
+            num_experts=e,
+            num_experts_per_tok=config.num_experts_per_tok,
+            hidden_features=inner,
+            ep_axis=ep,
+            num_experts_global=None,
+            dtype=config.dtype,
+        )
     if config.activation_function in ("swiglu", "geglu"):
         return functools.partial(
             GatedMlp,
