@@ -71,3 +71,58 @@ def test_gpt2_decode_matches_prefill():
     dec = jnp.stack(logits_steps, axis=1)
     err = float(jnp.abs(dec - full_logits[:, 16:24]).max())
     assert err < 2e-3, err
+
+
+def test_megatron_remap_shapes():
+    """remap_state_dict_megatron: keys, de-interleave, vocab padding."""
+    import numpy as np
+    from xhy_flash_attention_tpu.models.gpt import (
+        GPTConfig, GPTLMHeadModel, remap_state_dict_megatron,
+    )
+
+    h, d, hidden, V, L = 4, 16, 64, 100, 2
+    cfg = GPTConfig(vocab_size=V, hidden_size=hidden, num_hidden_layers=L,
+                    num_attention_heads=h, intermediate_size=128,
+                    max_position_embeddings=32, pad_vocab_size_multiple=16,
+                    dtype=jnp.float32)
+    rng = np.random.default_rng(0)
+    sd = {
+        "language_model.embedding.word_embeddings.weight":
+            rng.standard_normal((V, hidden)).astype(np.float32),
+        "language_model.embedding.position_embeddings.weight":
+            rng.standard_normal((32, hidden)).astype(np.float32),
+        "language_model.encoder.final_layernorm.weight": np.ones(hidden, np.float32),
+        "language_model.encoder.final_layernorm.bias": np.zeros(hidden, np.float32),
+    }
+    for i in range(L):
+        p = f"language_model.encoder.layers.{i}."
+        sd[p + "input_layernorm.weight"] = np.ones(hidden, np.float32)
+        sd[p + "input_layernorm.bias"] = np.zeros(hidden, np.float32)
+        sd[p + "post_attention_layernorm.weight"] = np.ones(hidden, np.float32)
+        sd[p + "post_attention_layernorm.bias"] = np.zeros(hidden, np.float32)
+        sd[p + "self_attention.query_key_value.weight"] = \
+            rng.standard_normal((3 * hidden, hidden)).astype(np.float32)
+        sd[p + "self_attention.query_key_value.bias"] = \
+            rng.standard_normal(3 * hidden).astype(np.float32)
+        sd[p + "self_attention.dense.weight"] = \
+            rng.standard_normal((hidden, hidden)).astype(np.float32)
+        sd[p + "self_attention.dense.bias"] = np.zeros(hidden, np.float32)
+        sd[p + "mlp.dense_h_to_4h.weight"] = \
+            rng.standard_normal((128, hidden)).astype(np.float32)
+        sd[p + "mlp.dense_h_to_4h.bias"] = np.zeros(128, np.float32)
+        sd[p + "mlp.dense_4h_to_h.weight"] = \
+            rng.standard_normal((hidden, 128)).astype(np.float32)
+        sd[p + "mlp.dense_4h_to_h.bias"] = np.zeros(hidden, np.float32)
+
+    params = remap_state_dict_megatron(sd, cfg)
+    model = GPTLMHeadModel(cfg)
+    ids = jnp.asarray(rng.integers(0, V, (1, 16)), jnp.int32)
+    logits, _ = model.apply(params, ids)
+    assert logits.shape == (1, 16, cfg.padded_vocab_size)
+    # de-interleave check: q rows of Wqkv = rows h*[0,3) stride pattern
+    w_meg = sd["language_model.encoder.layers.0.self_attention.query_key_value.weight"]
+    w_flax = np.asarray(
+        params["params"]["transformer"]["layers_0"]["mixer"]["Wqkv"]["kernel"]
+    )
+    # flax kernel is (in, out): column q-head0 dims = megatron rows 0:d of head0
+    np.testing.assert_allclose(w_flax[:, :d], w_meg[:d].T, atol=0)

@@ -146,3 +146,21 @@ def test_load_config_interpolation(tmp_path):
     assert cfg.scheduler.warmup_steps == 10
     assert cfg.model["max_position_embeddings"] == 256
     assert cfg.optimizer.lr == 1e-3
+
+
+def test_evaluate_and_loggers(token_file, tmp_path):
+    from xhy_flash_attention_tpu.training.loggers import JSONLLogger
+
+    t = Trainer(_tiny_cfg(token_file, tmp_path, max_steps=5))
+    t.init_params()
+    t.fit(log=lambda *_: None)
+    metrics = t.evaluate(max_batches=3)
+    assert np.isfinite(metrics["eval_ppl"]) and metrics["eval_ppl"] > 1
+
+    lg = JSONLLogger(tmp_path / "log.jsonl")
+    lg.log({"loss": 1.0}, step=1)
+    lg.log(metrics, step=5)
+    lg.close()
+    import json
+    lines = [json.loads(ln) for ln in open(tmp_path / "log.jsonl")]
+    assert lines[0]["loss"] == 1.0 and lines[1]["step"] == 5

@@ -318,6 +318,83 @@ def gpt2_config_to_gpt_config(hf_config, dtype=jnp.float32) -> GPTConfig:
     )
 
 
+def remap_state_dict_megatron(state_dict, config: GPTConfig):
+    """Megatron-LM GPT checkpoint (numpy values) -> flax params
+    (≙ reference remap_state_dict_megatron, models/gpt.py:697).
+
+    Megatron stores torch (out, in) weights with Wqkv interleaved per head
+    ((nheads 3 headdim), hidden) and keys under language_model.encoder.
+    """
+    import numpy as np
+    import re
+
+    sd = {}
+    for k, v in state_dict.items():
+        k = re.sub(r"^language_model\.encoder\.", "", k)
+        k = re.sub(r"^language_model\.", "", k)
+        sd[k] = np.asarray(v)
+
+    def t(name):
+        return jnp.asarray(sd[name].T)
+
+    def g(name):
+        return jnp.asarray(sd[name])
+
+    h = config.num_attention_heads
+    d = config.head_dim or config.hidden_size // h
+    V = config.padded_vocab_size
+    emb = sd["embedding.word_embeddings.weight"]
+    if emb.shape[0] < V:
+        emb = np.concatenate(
+            [emb, np.zeros((V - emb.shape[0], emb.shape[1]), emb.dtype)]
+        )
+    elif emb.shape[0] > V:
+        emb = emb[:V]
+    params = {
+        "wte": {"embedding": jnp.asarray(emb)},
+        "transformer": {
+            "embeddings": {
+                "position_embeddings": {
+                    "embedding": g("embedding.position_embeddings.weight")
+                }
+            },
+            "norm_f": {"weight": g("final_layernorm.weight"),
+                       "bias": g("final_layernorm.bias")},
+        },
+    }
+
+    def deinterleave(w):
+        shape = w.shape[1:]
+        w = w.reshape(h, 3, d, *shape)
+        return np.moveaxis(w, 1, 0).reshape(3 * h * d, *shape)
+
+    for i in range(config.num_hidden_layers):
+        p = f"layers.{i}."
+        wqkv = deinterleave(
+            sd[p + "self_attention.query_key_value.weight"]
+        ).T
+        bqkv = deinterleave(sd[p + "self_attention.query_key_value.bias"])
+        params["transformer"][f"layers_{i}"] = {
+            "norm1": {"weight": g(p + "input_layernorm.weight"),
+                      "bias": g(p + "input_layernorm.bias")},
+            "norm2": {"weight": g(p + "post_attention_layernorm.weight"),
+                      "bias": g(p + "post_attention_layernorm.bias")},
+            "mixer": {
+                "Wqkv": {"kernel": jnp.asarray(wqkv),
+                         "bias": jnp.asarray(bqkv)},
+                "out_proj": {"kernel": t(p + "self_attention.dense.weight"),
+                             "bias": g(p + "self_attention.dense.bias")},
+            },
+            "mlp": {
+                "fc1": {"kernel": t(p + "mlp.dense_h_to_4h.weight"),
+                        "bias": g(p + "mlp.dense_h_to_4h.bias")},
+                "fc2": {"kernel": t(p + "mlp.dense_4h_to_h.weight"),
+                        "bias": g(p + "mlp.dense_4h_to_h.bias")},
+            },
+        }
+    return {"params": params}
+
+
 def remap_state_dict_hf_gpt2(state_dict, config: GPTConfig):
     """torch GPT2LMHeadModel state_dict (numpy values) -> flax params.
 

@@ -188,6 +188,30 @@ class Trainer:
             return True
         return False
 
+    # ---- eval (≙ reference training/src/eval.py + SequenceLMModel
+    # validation: held-out perplexity over a fixed window count) ------------
+
+    def evaluate(self, data: Optional[LMDataModule] = None,
+                 max_batches: int = 50) -> dict:
+        data = data or self.data
+        if self.params is None and not self.maybe_resume():
+            self.init_params()
+
+        @jax.jit
+        def eval_loss(params, ids, labels):
+            return self._loss_fn(params, ids, labels)
+
+        ppl = Perplexity()
+        it = iter(data)
+        tokens_per_batch = data.batch_size * data.seqlen
+        for _ in range(max_batches):
+            ids, labels = next(it)
+            loss = float(eval_loss(self.params, jnp.asarray(ids),
+                                   jnp.asarray(labels)))
+            ppl.update(loss * tokens_per_batch, tokens_per_batch)
+        return {"eval_loss": ppl.total_nll / max(ppl.total_tokens, 1),
+                "eval_ppl": ppl.compute()}
+
     # ---- loop -------------------------------------------------------------
 
     def fit(self, max_steps: Optional[int] = None, log=print):
