@@ -184,3 +184,64 @@ def test_engine_matches_sequential_decode():
             tok = int(jnp.argmax(logits[0, 0]))
             out.append(tok)
         assert results[i] == out, (i, results[i], out)
+
+
+def test_paged_decode_int8_matches_bf16():
+    """INT8 paged cache decodes close to the float cache (dequant fused)."""
+    rng = np.random.default_rng(5)
+    b, hk, d, ps = 2, 2, 64, 128
+    lengths = [130, 256]
+    k, v, cache = _random_cache_setup(rng, b, hk, d, ps, lengths)
+    from xhy_flash_attention_tpu.ops.quant import quantize_kv
+
+    kq = quantize_kv(cache.k_pages.reshape(-1, 1, ps, d), jnp.int8)
+    vq = quantize_kv(cache.v_pages.reshape(-1, 1, ps, d), jnp.int8)
+    qcache = PagedKVCache(
+        k_pages=kq.values.reshape(cache.k_pages.shape),
+        v_pages=vq.values.reshape(cache.v_pages.shape),
+        page_table=cache.page_table, lengths=cache.lengths,
+        k_scales=kq.scales.reshape(cache.k_pages.shape[0], hk, ps)[:, :, None, :],
+        v_scales=vq.scales.reshape(cache.v_pages.shape[0], hk, ps)[:, :, None, :],
+    )
+    q = jnp.asarray(rng.standard_normal((b, 1, hk * 2, d)), jnp.float32)
+    out_q = paged_flash_decode(q, qcache, softmax_scale=d ** -0.5)
+    out_f = paged_flash_decode(q, cache, softmax_scale=d ** -0.5)
+    err = np.abs(np.asarray(out_q) - np.asarray(out_f)).max()
+    assert err < 0.05, err
+
+
+def test_engine_int8_paged_matches_bf16_engine():
+    """Continuous batching with an INT8 paged cache ~ matches float pages."""
+    from xhy_flash_attention_tpu.models.gpt import GPTConfig, GPTLMHeadModel
+
+    cfg = GPTConfig(
+        vocab_size=128, hidden_size=64, num_hidden_layers=2,
+        num_attention_heads=4, num_attention_heads_kv=2,
+        intermediate_size=128, max_position_embeddings=0,
+        rotary_emb_fraction=1.0, rms_norm=True,
+        activation_function="swiglu", tie_word_embeddings=False,
+        qkv_proj_bias=False, out_proj_bias=False,
+        mlp_fc1_bias=False, mlp_fc2_bias=False, dtype=jnp.float32,
+    )
+    model = GPTLMHeadModel(cfg)
+    rng = np.random.default_rng(0)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 8), jnp.int32))
+    hk = cfg.num_attention_heads_kv
+    d = cfg.hidden_size // cfg.num_attention_heads
+    prompts = [rng.integers(0, cfg.vocab_size, (n,)).astype(np.int32)
+               for n in (5, 9)]
+    results = {}
+    for name, dt in [("f32", jnp.float32), ("int8", jnp.int8)]:
+        eng = InferenceEngine(
+            model.apply, params,
+            num_layers=cfg.num_hidden_layers, num_kv_heads=hk, head_dim=d,
+            num_pages=32, page_size=128, max_batch=2, max_pages_per_seq=2,
+            dtype=dt,
+        )
+        for i, p in enumerate(prompts):
+            eng.add_request(Request(rid=i, prompt=p, max_new_tokens=5))
+        results[name] = eng.run()
+    # greedy paths may diverge after many steps; require the first tokens
+    # to agree (quantization error is small vs logit gaps in a random model)
+    for rid in results["f32"]:
+        assert results["f32"][rid][0] == results["int8"][rid][0], results

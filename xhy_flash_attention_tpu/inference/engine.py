@@ -141,9 +141,13 @@ class InferenceEngine:
         ids = np.zeros((1, cap), np.int32)
         ids[0, :n] = prompt
         # contiguous scratch cache for the prompt, then scatter into pages
+        # (scratch stays float — quantization happens at page-write time)
         hk = self.caches[0].k_pages.shape[1]
         d = self.caches[0].k_pages.shape[3]
         dt = self.caches[0].k_pages.dtype
+        if jnp.dtype(dt) in (jnp.dtype(jnp.int8),
+                             jnp.dtype(jnp.float8_e4m3fn)):
+            dt = jnp.bfloat16
         scratch = [
             (jnp.zeros((1, hk, cap, d), dt), jnp.zeros((1, hk, cap, d), dt))
             for _ in self.caches
@@ -158,15 +162,35 @@ class InferenceEngine:
             self._alloc_page(req)
         for li, (kc, vc) in enumerate(new_caches):
             c = self.caches[li]
+            if c.quantized:
+                from ..ops.quant import quantize_kv
+
+                kq = quantize_kv(kc, c.k_pages.dtype)
+                vq = quantize_kv(vc, c.v_pages.dtype)
+                kc, vc = kq.values, vq.values
+                # (1, hk, cap, 1) -> lane-major (1, hk, 1, cap)
+                ks = kq.scales[..., 0][:, :, None, :]
+                vs = vq.scales[..., 0][:, :, None, :]
             for blk in range(nblocks):
                 p = req.pages[blk]
                 s = blk * self.page_size
                 c.k_pages = jax.lax.dynamic_update_slice(
-                    c.k_pages, kc[:, :, s:s + self.page_size], (p, 0, 0, 0)
+                    c.k_pages, kc[:, :, s:s + self.page_size].astype(
+                        c.k_pages.dtype), (p, 0, 0, 0)
                 )
                 c.v_pages = jax.lax.dynamic_update_slice(
-                    c.v_pages, vc[:, :, s:s + self.page_size], (p, 0, 0, 0)
+                    c.v_pages, vc[:, :, s:s + self.page_size].astype(
+                        c.v_pages.dtype), (p, 0, 0, 0)
                 )
+                if c.quantized:
+                    c.k_scales = jax.lax.dynamic_update_slice(
+                        c.k_scales, ks[:, :, :, s:s + self.page_size],
+                        (p, 0, 0, 0),
+                    )
+                    c.v_scales = jax.lax.dynamic_update_slice(
+                        c.v_scales, vs[:, :, :, s:s + self.page_size],
+                        (p, 0, 0, 0),
+                    )
             c.lengths = c.lengths.at[req.slot].set(n)
         tok = self._sample(np.asarray(logits[0, n - 1]), req)
         req.output.append(tok)

@@ -45,34 +45,55 @@ class PagedKVCache:
         logical block; entries past the sequence's pages are arbitrary
         (clamped by `lengths` in the kernel).
     lengths: (batch,) int32 — valid tokens per sequence.
+    k_scales/v_scales: None for bf16 pages; (num_pages, kv_heads, 1,
+        page_size) fp32 per-token scales for INT8/FP8 pages (lane-major —
+        see decode_kernel.py on why), dequant fused into the decode matmuls
+        (≙ FA3 k_descale/v_descale with a paged INT8 cache, BASELINE
+        config #3).
     """
 
     k_pages: jax.Array
     v_pages: jax.Array
     page_table: jax.Array
     lengths: jax.Array
+    k_scales: Optional[jax.Array] = None
+    v_scales: Optional[jax.Array] = None
 
     @property
     def page_size(self) -> int:
         return self.k_pages.shape[2]
+
+    @property
+    def quantized(self) -> bool:
+        return self.k_scales is not None
 
     @staticmethod
     def create(num_pages: int, kv_heads: int, page_size: int, head_dim: int,
                batch: int, max_pages_per_seq: int,
                dtype=jnp.bfloat16) -> "PagedKVCache":
         shape = (num_pages, kv_heads, page_size, head_dim)
+        quant = jnp.dtype(dtype) in (jnp.dtype(jnp.int8),
+                                     jnp.dtype(jnp.float8_e4m3fn))
+        sc = (jnp.ones((num_pages, kv_heads, 1, page_size), jnp.float32)
+              if quant else None)
         return PagedKVCache(
             k_pages=jnp.zeros(shape, dtype),
             v_pages=jnp.zeros(shape, dtype),
             page_table=jnp.zeros((batch, max_pages_per_seq), jnp.int32),
             lengths=jnp.zeros((batch,), jnp.int32),
+            k_scales=sc,
+            v_scales=sc,
         )
 
 
 def _paged_decode_kernel(lens_ref, table_ref, *refs,
                          sm_scale, softcap, page_size, sq, g, rows_p,
-                         window_left, num_blocks):
-    q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr = refs
+                         window_left, num_blocks, quantized):
+    if quantized:
+        (q_ref, k_ref, ks_ref, v_ref, vs_ref, o_ref,
+         m_scr, l_scr, acc_scr) = refs
+    else:
+        q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr = refs
     b_idx = pl.program_id(0)
     ikv = pl.program_id(2)
 
@@ -89,9 +110,13 @@ def _paged_decode_kernel(lens_ref, table_ref, *refs,
     def _run():
         q = q_ref[0, 0]
         k = k_ref[0, 0]                    # (page_size, d) — page block
+        if quantized:
+            k = k.astype(q.dtype)
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
+        if quantized:
+            s *= ks_ref[0, 0]              # (1, page_size) per-token scales
         s *= sm_scale
         if softcap > 0.0:
             s = jnp.tanh(s / softcap) * softcap
@@ -113,6 +138,9 @@ def _paged_decode_kernel(lens_ref, table_ref, *refs,
         l_scr[...] = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
         m_scr[...] = m_next
         v = v_ref[0, 0]
+        if quantized:
+            p = p * vs_ref[0, 0]
+            v = v.astype(q.dtype)
         pv = jax.lax.dot_general(
             p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -162,12 +190,25 @@ def paged_flash_decode(
         blk = jnp.minimum(ikv, hi)
         return (table_ref[b_ * npp + blk], h_, 0, 0)
 
+    quantized = cache.quantized
+    kv_specs = [pl.BlockSpec((1, 1, page_size, d), page_index)]
+    kv_inputs = [cache.k_pages]
+    if quantized:
+        kv_specs.append(pl.BlockSpec((1, 1, 1, page_size), page_index))
+        kv_inputs.append(cache.k_scales)
+    kv_specs.append(pl.BlockSpec((1, 1, page_size, d), page_index))
+    kv_inputs.append(cache.v_pages)
+    if quantized:
+        kv_specs.append(pl.BlockSpec((1, 1, 1, page_size), page_index))
+        kv_inputs.append(cache.v_scales)
+
     out = pl.pallas_call(
         functools.partial(
             _paged_decode_kernel,
             sm_scale=float(softmax_scale), softcap=softcap,
             page_size=page_size, sq=sq, g=g, rows_p=rows_p,
             window_left=window_size[0], num_blocks=npp,
+            quantized=quantized,
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
@@ -175,9 +216,7 @@ def paged_flash_decode(
             in_specs=[
                 pl.BlockSpec((1, 1, rows_p, d),
                              lambda b_, h_, ikv, *_: (b_, h_, 0, 0)),
-                pl.BlockSpec((1, 1, page_size, d), page_index),
-                pl.BlockSpec((1, 1, page_size, d), page_index),
-            ],
+            ] + kv_specs,
             out_specs=pl.BlockSpec(
                 (1, 1, rows_p, d), lambda b_, h_, ikv, *_: (b_, h_, 0, 0)
             ),
@@ -194,7 +233,7 @@ def paged_flash_decode(
         interpret=interpret_mode() if interpret is None else interpret,
     )(cache.lengths.astype(jnp.int32),
       cache.page_table.reshape(-1).astype(jnp.int32),
-      qr, cache.k_pages, cache.v_pages)
+      qr, *kv_inputs)
     out = out[:, :, :rows].reshape(b, hk, sq, g, d).transpose(0, 2, 1, 3, 4)
     return out.reshape(b, sq, h, d)
 
@@ -233,9 +272,38 @@ def append_paged_kv(cache: PagedKVCache, k_new: jax.Array, v_new: jax.Array
             0, b, lambda i, p: upd(p, i), pages
         )
 
+    def write_scale(scales, new_scale):
+        # (num_pages, hk, 1, page_size) lane-major: scatter one lane
+        def upd(scales, i):
+            return jax.lax.dynamic_update_slice(
+                scales, new_scale[i][None], (page_ids[i], 0, 0, off[i]),
+            )
+        return jax.lax.fori_loop(0, b, lambda i, s: upd(s, i), scales)
+
+    if cache.quantized:
+        from ..ops.quant import quantize_kv
+
+        kq = quantize_kv(k_new, cache.k_pages.dtype)  # per-token scales
+        vq = quantize_kv(v_new, cache.v_pages.dtype)
+        return PagedKVCache(
+            k_pages=write(cache.k_pages, kq.values),
+            v_pages=write(cache.v_pages, vq.values),
+            page_table=cache.page_table,
+            lengths=cache.lengths + active.astype(cache.lengths.dtype),
+            # scales (b, hk, 1, d->token) reshape: (b, hk, 1, 1)
+            k_scales=write_scale(cache.k_scales,
+                                 kq.scales.reshape(b, hk_of(cache), 1, 1)),
+            v_scales=write_scale(cache.v_scales,
+                                 vq.scales.reshape(b, hk_of(cache), 1, 1)),
+        )
+
     return PagedKVCache(
         k_pages=write(cache.k_pages, k_new),
         v_pages=write(cache.v_pages, v_new),
         page_table=cache.page_table,
         lengths=cache.lengths + active.astype(cache.lengths.dtype),
     )
+
+
+def hk_of(cache: PagedKVCache) -> int:
+    return cache.k_pages.shape[1]
