@@ -60,16 +60,20 @@ def _recompute_p_ds(
     q_start, c_start, seqlen_k, has_right, has_left, window, offset,
     apply_position_mask, fm_mode=None, fmv=None, qpos=None, kpos=None,
 ):
-    """Shared recompute: returns (p_dropped_T-ready p, ds_scaled).
+    """Shared recompute: returns (p_dropped, ds, ds_raw, q_scaled).
 
     p is the *undropped* softmax probability (used for dV via P^T dO after
-    dropout is applied); ds_scaled = sm_scale * softcap' * p * (dp - delta).
+    dropout is applied); ds = softcap' * p * (dp - delta) — the gradient
+    wrt the *pre-scaled* scores s = (sm_scale·q)@kᵀ, so dK = dsᵀ @ q_scaled
+    directly and dQ = (ds @ k) · sm_scale once per output tile (the scale
+    folds into the (bq, d) q tile / dq result instead of two (bq, bk)
+    passes — same reorder the fwd kernel uses).
     """
     block_q, block_k = q.shape[0], k.shape[0]
+    q = (q.astype(jnp.float32) * sm_scale).astype(q.dtype)
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
-    s *= sm_scale
     if softcap > 0.0:
         t = jnp.tanh(s / softcap)
         s = t * softcap
@@ -114,8 +118,7 @@ def _recompute_p_ds(
     ds = ds_raw
     if softcap > 0.0:
         ds = ds * (1.0 - t * t)
-    ds_scaled = ds * sm_scale
-    return p_dropped, ds_scaled, ds_raw
+    return p_dropped, ds, ds_raw, q
 
 
 def _bwd_dkv_kernel(refs, *, params):
@@ -226,7 +229,7 @@ def _bwd_dkv_kernel(refs, *, params):
                 seed_ref[0],
                 b_idx * pl.num_programs(1) + h_idx,
             )
-        p_dropped, ds_scaled, ds_raw = _recompute_p_ds(
+        p_dropped, ds, ds_raw, q_scaled = _recompute_p_ds(
             q, k_ref[0, 0], v_ref[0, 0], do, lse, delta,
             bias_ref[0, 0] if bias_ref is not None else None,
             qseg_ref[0] if qseg_ref is not None else None,
@@ -249,9 +252,9 @@ def _bwd_dkv_kernel(refs, *, params):
             p_dropped.astype(dtype), do,
             (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
         )
-        # dK += dS^T @ Q
+        # dK += dS^T @ (sm_scale·Q) — the scale already lives in q_scaled
         dk_scr[...] += jax.lax.dot_general(
-            ds_scaled.astype(dtype), q,
+            ds.astype(dtype), q_scaled,
             (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
         )
 
@@ -387,7 +390,7 @@ def _bwd_dq_kernel(refs, *, params):
                 seed_ref[0],
                 b_idx * pl.num_programs(1) + h_idx,
             )
-        _, ds_scaled, _ = _recompute_p_ds(
+        _, ds, _, _ = _recompute_p_ds(
             q, k_ref[0, 0], v_ref[0, 0], do_ref[0, 0],
             lse_ref[0, 0][:, :1], delta_ref[0, 0][:, :1],
             bias_ref[0, 0] if bias_ref is not None else None,
@@ -403,9 +406,9 @@ def _bwd_dq_kernel(refs, *, params):
             qpos=qpos_ref[0] if (has_positions and apply_position_mask) else None,
             kpos=kpos_ref[0] if (has_positions and apply_position_mask) else None,
         )
-        # dQ += dS @ K
+        # dQ += dS @ K (the sm_scale factor is applied once in _finish)
         dq_scr[...] += jax.lax.dot_general(
-            ds_scaled.astype(q.dtype), k_ref[0, 0],
+            ds.astype(q.dtype), k_ref[0, 0],
             (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
         )
 
@@ -428,7 +431,7 @@ def _bwd_dq_kernel(refs, *, params):
 
     @pl.when(ikv == nkv - 1)
     def _finish():
-        dq_ref[0, 0] = dq_scr[...].astype(dq_ref.dtype)
+        dq_ref[0, 0] = (dq_scr[...] * params["sm_scale"]).astype(dq_ref.dtype)
 
 
 def flash_attention_bwd(

@@ -178,12 +178,15 @@ def _fwd_kernel(
         fully_unmasked = jnp.logical_and(fully_unmasked, k_hi <= q_lo)
 
     def body(apply_position_mask: bool):
-        q = q_ref[0, 0]
+        # fold the softmax scale into the (bq, d) q tile instead of the
+        # (bq, bk) score matrix — d/bk fewer VPU ops; this is the
+        # reorder_ops=True operand ordering the reference's low-precision
+        # baseline defines the error contract around
+        q = (q_ref[0, 0].astype(jnp.float32) * sm_scale).astype(q_ref.dtype)
         k = k_ref[0, 0]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
-        s *= sm_scale
         if softcap > 0.0:
             s = jnp.tanh(s / softcap) * softcap
         if has_bias:
