@@ -1,0 +1,95 @@
+"""End-to-end training throughput (≙ reference training/README.md tables:
+GPT-2/GPT-3 tokens/s and model-FLOPs utilization on A100s; here tokens/s
+and MFU on the local TPU chip).
+
+Run: python benchmarks/benchmark_training.py [--model gpt2s] [--remat]
+"""
+
+import argparse
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from xhy_flash_attention_tpu.losses.cross_entropy import cross_entropy_loss
+from xhy_flash_attention_tpu.models.gpt import GPTConfig, GPTLMHeadModel
+from xhy_flash_attention_tpu.training.callbacks import (
+    _chip_peak_flops,
+    gpt_flops_per_token,
+)
+
+MODELS = {
+    # name: (layers, hidden, heads, batch, seqlen)
+    "gpt2s": (12, 768, 12, 8, 1024),
+    "gpt2m": (24, 1024, 16, 4, 1024),
+    "gpt2l": (36, 1280, 20, 4, 1024),
+}
+
+
+def run(name="gpt2s", remat=False, steps=8):
+    L, H, heads, B, S = MODELS[name]
+    cfg = GPTConfig(
+        vocab_size=50257, hidden_size=H, num_hidden_layers=L,
+        num_attention_heads=heads, max_position_embeddings=S,
+        pad_vocab_size_multiple=128, remat=remat, dtype=jnp.bfloat16,
+    )
+    model = GPTLMHeadModel(cfg)
+    rng = np.random.default_rng(0)
+    ids = jnp.asarray(rng.integers(0, 50000, (B, S)), jnp.int32)
+    labels = jnp.asarray(rng.integers(0, 50000, (B, S)), jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), ids[:1, :8])
+    opt = optax.adamw(1e-4)
+    opt_state = opt.init(params)
+
+    def loss_fn(p, ids, labels):
+        logits, _ = model.apply(p, ids)
+        return cross_entropy_loss(
+            logits.reshape(-1, logits.shape[-1]).astype(jnp.float32),
+            labels.reshape(-1),
+        ).mean()
+
+    def step(carry, _):
+        p, o = carry
+        loss, grads = jax.value_and_grad(loss_fn)(p, ids, labels)
+        updates, o = opt.update(grads, o, p)
+        return (optax.apply_updates(p, updates), o), loss
+
+    # chain steps inside one jit (the axon tunnel adds large per-dispatch
+    # latency; a python step loop measures the tunnel, not the chip)
+    def chain(p, o, n):
+        (p, o), losses = jax.lax.scan(step, (p, o), None, length=n)
+        return p, o, losses[-1]
+
+    f1 = jax.jit(lambda p, o: chain(p, o, 1))
+    fn = jax.jit(lambda p, o: chain(p, o, steps))
+    _, _, l0 = f1(params, opt_state)
+    jax.block_until_ready(l0)
+    _, _, l1 = fn(params, opt_state)
+    jax.block_until_ready(l1)
+    t0 = time.perf_counter()
+    _, _, loss = f1(params, opt_state)
+    print("warm single-step loss:", float(loss))
+    t1 = time.perf_counter()
+    _, _, loss = fn(params, opt_state)
+    print("loss:", float(loss))  # forces sync
+    t2 = time.perf_counter()
+    dt = ((t2 - t1) - (t1 - t0)) / (steps - 1)
+    toks = B * S / dt
+    fpt = gpt_flops_per_token(L, H, S, cfg.padded_vocab_size)
+    if remat:
+        fpt *= 4.0 / 3.0  # recompute adds ~one forward
+    mfu = toks * fpt / _chip_peak_flops()
+    print(f"{name} remat={remat}: {toks:,.0f} tokens/s, "
+          f"{toks * fpt / 1e12:.1f} TFLOP/s, MFU {mfu:.1%}")
+    return toks, mfu
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="gpt2s", choices=list(MODELS))
+    ap.add_argument("--remat", action="store_true")
+    ap.add_argument("--steps", type=int, default=8)
+    a = ap.parse_args()
+    run(a.model, a.remat, a.steps)

@@ -65,6 +65,9 @@ class GPTConfig:
     num_local_experts: int = 0
     num_experts_per_tok: int = 2
     expert_parallel_axis: Optional[str] = None  # EP mesh axis in shard_map
+    # rematerialize each block in backward (jax.checkpoint — trades ~1/3
+    # more FLOPs for O(layers) less activation memory)
+    remat: bool = False
     # inside shard_map: Megatron tensor/sequence parallelism (D2/D3)
     tensor_parallel_axis: Optional[str] = None
     sequence_parallel: bool = False
@@ -174,9 +177,18 @@ class GPTModel(nn.Module):
         new_caches = [] if kv_caches is not None else None
         mixer = _mixer_cls(c)
         mlp = _mlp_cls(c)
+        block_cls = Block
+        use_remat = c.remat and kv_caches is None
+        if use_remat:
+            # deterministic and seqlen_offset are python statics (indices
+            # count from self: self=0, hidden=1, residual=2, ...)
+            block_cls = nn.remat(
+                Block, static_argnums=(3, 6), prevent_cse=False,
+                policy=jax.checkpoint_policies.nothing_saveable,
+            )
         for i in range(c.num_hidden_layers):
             cache_i = kv_caches[i] if kv_caches is not None else None
-            hidden, residual, new_cache = Block(
+            hidden, residual, new_cache = block_cls(
                 dim=c.hidden_size,
                 mixer=mixer,
                 mlp=mlp,
@@ -190,9 +202,8 @@ class GPTModel(nn.Module):
                 parallel_block_tied_norm=c.parallel_block_tied_norm,
                 name=f"layers_{i}",
             )(
-                hidden, residual, deterministic=deterministic,
-                kv_cache=cache_i, seqlen_offset=seqlen_offset,
-                q_segment_ids=segment_ids, kv_segment_ids=segment_ids,
+                hidden, residual, deterministic, (None, None),
+                cache_i, seqlen_offset, segment_ids, segment_ids,
             )
             if new_caches is not None:
                 new_caches.append(new_cache)

@@ -69,7 +69,7 @@ class Block(nn.Module):
     parallel_block_tied_norm: bool = True
 
     @nn.compact
-    def __call__(self, hidden_states, residual=None, *, deterministic=True,
+    def __call__(self, hidden_states, residual=None, deterministic=True,
                  seeds=(None, None), kv_cache=None, seqlen_offset=0,
                  q_segment_ids=None, kv_segment_ids=None):
         """Prenorm: (hidden_states, residual) -> (hidden_states, residual).
