@@ -8,7 +8,6 @@ used.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp

@@ -13,7 +13,7 @@ plus xPos scaling (`scale_base`) and partial-dim rotary
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple, Union
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

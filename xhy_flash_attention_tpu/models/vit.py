@@ -10,7 +10,7 @@ embeddings; sequence length is padded inside the attention kernel so the
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
 import flax.linen as nn
 import jax

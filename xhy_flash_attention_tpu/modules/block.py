@@ -15,15 +15,13 @@ norm (GPT-J/NeoX/Falcon style) and sums their outputs.
 
 from __future__ import annotations
 
-from typing import Any, Optional, Tuple
+from typing import Any
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
 from ..ops.layer_norm import dropout_add_layer_norm, dropout_add_rms_norm
-from .mha import MHA
-from .mlp import GatedMlp, Mlp
 
 
 class _Norm(nn.Module):

@@ -16,7 +16,6 @@ and remaps are TP-agnostic; shard/combine lives in parallel/tp.py.
 
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import flax.linen as nn

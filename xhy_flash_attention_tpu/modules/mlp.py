@@ -9,7 +9,7 @@ without code duplication.
 
 from __future__ import annotations
 
-from typing import Callable, Optional
+from typing import Optional
 
 import flax.linen as nn
 import jax

@@ -30,13 +30,13 @@ hm must divide the number of query heads (1 = shared mask).
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
 
 from .bwd import flash_attention_bwd
-from .common import FM_NV, BlockSizes, fm_mode_for
+from .common import BlockSizes, fm_mode_for
 from .fwd import flash_attention_fwd
 
 __all__ = [

@@ -18,7 +18,6 @@ Differences by design:
 
 from __future__ import annotations
 
-import dataclasses
 import functools
 import math
 from typing import NamedTuple, Optional, Tuple

@@ -21,7 +21,7 @@ These compose into ParallelMLP/ParallelMHA (modules/) or can be used raw.
 
 from __future__ import annotations
 
-from typing import Callable, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

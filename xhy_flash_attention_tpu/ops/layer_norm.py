@@ -22,7 +22,6 @@ per-block partials reduced by XLA, and is fully deterministic.
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -13,7 +13,6 @@ dequantizes in VMEM right before the MXU.
 from __future__ import annotations
 
 import dataclasses
-import functools
 from typing import Optional, Tuple
 
 import jax

@@ -21,7 +21,6 @@ import ctypes
 import dataclasses
 import os
 import subprocess
-import tempfile
 from pathlib import Path
 from typing import Iterator, Optional, Tuple
 

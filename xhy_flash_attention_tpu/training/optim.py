@@ -9,7 +9,7 @@ are pytrees that shard like their parameters.
 
 from __future__ import annotations
 
-from typing import Any, Callable
+from typing import Any
 
 import jax.numpy as jnp
 import optax

@@ -10,7 +10,7 @@ short kernels), plus jax.profiler traces in place of the torch profiler.
 from __future__ import annotations
 
 import time
-from typing import Callable, Optional, Tuple
+from typing import Callable, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -13,7 +13,6 @@ teacher forcing (`teacher_outputs`) for tests.
 from __future__ import annotations
 
 import dataclasses
-import functools
 from typing import Any, Callable, Optional, Sequence
 
 import jax
