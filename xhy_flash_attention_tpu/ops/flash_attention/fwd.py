@@ -222,10 +222,15 @@ def _fwd_kernel(
         m_curr = jnp.max(s, axis=-1, keepdims=True)
         m_next = jnp.maximum(m_prev, m_curr)  # (bq, 128)
         alpha = jnp.exp(m_prev - m_next)
-        # Clamp the exp shift so fully-masked rows (m_next == NEG_INF)
-        # underflow to p = 0 instead of exp(0) = 1 (empty-row contract:
-        # out = 0, lse = +inf, ≙ flash_fwd_kernel.h:509-514).
-        p = jnp.exp(s - jnp.maximum(m_next[:, :1], 0.5 * NEG_INF))
+        if apply_position_mask or has_segments:
+            # Clamp the exp shift so fully-masked rows (m_next == NEG_INF)
+            # underflow to p = 0 instead of exp(0) = 1 (empty-row contract:
+            # out = 0, lse = +inf, ≙ flash_fwd_kernel.h:509-514). The fast
+            # path always has visible keys, so m_next is finite there.
+            shift = jnp.maximum(m_next[:, :1], 0.5 * NEG_INF)
+        else:
+            shift = m_next[:, :1]
+        p = jnp.exp(s - shift)
         l_scr[...] = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
         m_scr[...] = m_next
 
