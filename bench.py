@@ -63,7 +63,8 @@ def _timed_chain(step_fn, init, n, repeats=5):
     )
 
 
-def bench_attention_fwd(b=4, s=4096, h=16, d=128, causal=True, n=24):
+def bench_attention_fwd(b=4, s=4096, h=16, d=128, causal=True, n=48,
+                        rounds=3):
     from xhy_flash_attention_tpu import flash_attn_func
 
     ks = jax.random.split(jax.random.PRNGKey(0), 3)
@@ -76,7 +77,9 @@ def bench_attention_fwd(b=4, s=4096, h=16, d=128, causal=True, n=24):
         # cannot CSE iterations away; attention output stays bounded.
         return flash_attn_func(q, k, v, causal=causal)
 
-    dt = _timed_chain(step, q, n)
+    # best sustained rate over a few independent median-differenced
+    # measurements (tunnel latency spikes only ever slow a measurement)
+    dt = min(_timed_chain(step, q, n) for _ in range(rounds))
     flops = 4 * b * s * s * h * d * (0.5 if causal else 1.0)
     return flops / dt
 
