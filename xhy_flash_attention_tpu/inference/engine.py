@@ -123,6 +123,7 @@ class InferenceEngine:
         self.waiting.append(req)
 
     def _admit(self):
+        admitted = []
         for i in range(self.max_batch):
             if not self.waiting:
                 break
@@ -130,17 +131,26 @@ class InferenceEngine:
                 req = self.waiting.pop(0)
                 req.slot = i
                 self.slots[i] = req
-                self._prefill(req)
+                admitted.append(req)
+        # batch the prefills of requests landing in the same length bucket
+        # (one forward per bucket instead of one per request)
+        by_bucket = {}
+        for r in admitted:
+            by_bucket.setdefault(_bucket(len(r.prompt)), []).append(r)
+        for cap, reqs in by_bucket.items():
+            self._prefill_batch(reqs, cap)
 
     # ---- prefill ----------------------------------------------------------
 
-    def _prefill(self, req: Request):
-        prompt = np.asarray(req.prompt, np.int32)
-        n = len(prompt)
-        cap = _bucket(n)
-        ids = np.zeros((1, cap), np.int32)
-        ids[0, :n] = prompt
-        # contiguous scratch cache for the prompt, then scatter into pages
+    def _prefill_batch(self, reqs, cap: int):
+        nb = len(reqs)
+        ids = np.zeros((nb, cap), np.int32)
+        seg = np.zeros((nb, cap), np.int32)
+        lens = [len(r.prompt) for r in reqs]
+        for j, r in enumerate(reqs):
+            ids[j, :lens[j]] = np.asarray(r.prompt, np.int32)
+            seg[j, :lens[j]] = 1
+        # contiguous scratch cache for the prompts, then scatter into pages
         # (scratch stays float — quantization happens at page-write time)
         hk = self.caches[0].k_pages.shape[1]
         d = self.caches[0].k_pages.shape[3]
@@ -149,52 +159,54 @@ class InferenceEngine:
                              jnp.dtype(jnp.float8_e4m3fn)):
             dt = jnp.bfloat16
         scratch = [
-            (jnp.zeros((1, hk, cap, d), dt), jnp.zeros((1, hk, cap, d), dt))
+            (jnp.zeros((nb, hk, cap, d), dt), jnp.zeros((nb, hk, cap, d), dt))
             for _ in self.caches
         ]
-        seg = (np.arange(cap) < n).astype(np.int32)[None]
         logits, new_caches = self.model_apply(
             self.params, jnp.asarray(ids), kv_caches=scratch,
             seqlen_offset=0, segment_ids=jnp.asarray(seg),
         )
-        nblocks = -(-n // self.page_size)
-        while len(req.pages) < nblocks:
-            self._alloc_page(req)
-        for li, (kc, vc) in enumerate(new_caches):
-            c = self.caches[li]
-            if c.quantized:
-                from ..ops.quant import quantize_kv
-
-                kq = quantize_kv(kc, c.k_pages.dtype)
-                vq = quantize_kv(vc, c.v_pages.dtype)
-                kc, vc = kq.values, vq.values
-                # (1, hk, cap, 1) -> lane-major (1, hk, 1, cap)
-                ks = kq.scales[..., 0][:, :, None, :]
-                vs = vq.scales[..., 0][:, :, None, :]
-            for blk in range(nblocks):
-                p = req.pages[blk]
-                s = blk * self.page_size
-                c.k_pages = jax.lax.dynamic_update_slice(
-                    c.k_pages, kc[:, :, s:s + self.page_size].astype(
-                        c.k_pages.dtype), (p, 0, 0, 0)
-                )
-                c.v_pages = jax.lax.dynamic_update_slice(
-                    c.v_pages, vc[:, :, s:s + self.page_size].astype(
-                        c.v_pages.dtype), (p, 0, 0, 0)
-                )
+        for j, req in enumerate(reqs):
+            n = lens[j]
+            nblocks = -(-n // self.page_size)
+            while len(req.pages) < nblocks:
+                self._alloc_page(req)
+            for li, (kc, vc) in enumerate(new_caches):
+                c = self.caches[li]
+                kcj, vcj = kc[j:j + 1], vc[j:j + 1]
                 if c.quantized:
-                    c.k_scales = jax.lax.dynamic_update_slice(
-                        c.k_scales, ks[:, :, :, s:s + self.page_size],
-                        (p, 0, 0, 0),
+                    from ..ops.quant import quantize_kv
+
+                    kq = quantize_kv(kcj, c.k_pages.dtype)
+                    vq = quantize_kv(vcj, c.v_pages.dtype)
+                    kcj, vcj = kq.values, vq.values
+                    # (1, hk, cap, 1) -> lane-major (1, hk, 1, cap)
+                    ks = kq.scales[..., 0][:, :, None, :]
+                    vs = vq.scales[..., 0][:, :, None, :]
+                for blk in range(nblocks):
+                    p = req.pages[blk]
+                    s = blk * self.page_size
+                    c.k_pages = jax.lax.dynamic_update_slice(
+                        c.k_pages, kcj[:, :, s:s + self.page_size].astype(
+                            c.k_pages.dtype), (p, 0, 0, 0)
                     )
-                    c.v_scales = jax.lax.dynamic_update_slice(
-                        c.v_scales, vs[:, :, :, s:s + self.page_size],
-                        (p, 0, 0, 0),
+                    c.v_pages = jax.lax.dynamic_update_slice(
+                        c.v_pages, vcj[:, :, s:s + self.page_size].astype(
+                            c.v_pages.dtype), (p, 0, 0, 0)
                     )
-            c.lengths = c.lengths.at[req.slot].set(n)
-        tok = self._sample(np.asarray(logits[0, n - 1]), req)
-        req.output.append(tok)
-        self._last_tokens[req.slot] = tok
+                    if c.quantized:
+                        c.k_scales = jax.lax.dynamic_update_slice(
+                            c.k_scales, ks[:, :, :, s:s + self.page_size],
+                            (p, 0, 0, 0),
+                        )
+                        c.v_scales = jax.lax.dynamic_update_slice(
+                            c.v_scales, vs[:, :, :, s:s + self.page_size],
+                            (p, 0, 0, 0),
+                        )
+                c.lengths = c.lengths.at[req.slot].set(n)
+            tok = self._sample(np.asarray(logits[j, n - 1]), req)
+            req.output.append(tok)
+            self._last_tokens[req.slot] = tok
 
     # ---- decode -----------------------------------------------------------
 
