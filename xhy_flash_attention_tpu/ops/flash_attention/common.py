@@ -285,6 +285,25 @@ def expand_block_mask(
     return jnp.broadcast_to(m, (batch,) + m.shape[1:]).reshape(-1)
 
 
+def effective_kv_table(visible: jax.Array) -> jax.Array:
+    """DMA-skip table from a (b, hm, nq, nkv) visibility map.
+
+    For each grid step (iq, ikv) the value is the kv-block index whose tile
+    should be resident: the step's own block when visible, else the last
+    visible block of the row (so the BlockSpec index map repeats the
+    resident index and Pallas issues **no HBM traffic** for skipped steps —
+    the memory-traffic half of the reference's fully-masked-block skip,
+    SURVEY.md hard part #2). Rows before the first visible block clamp to
+    block 0 (they fetch once; their steps still skip compute).
+    Returns flattened int32 for scalar prefetch.
+    """
+    nkv = visible.shape[-1]
+    ids = jnp.arange(nkv, dtype=jnp.int32)
+    marked = jnp.where(visible, ids, -1)
+    eff = jax.lax.associative_scan(jnp.maximum, marked, axis=-1)
+    return jnp.maximum(eff, 0).reshape(-1).astype(jnp.int32)
+
+
 def pad_to_block(x: jax.Array, axis: int, block: int) -> jax.Array:
     """Zero-pad `axis` of x up to a multiple of `block`."""
     size = x.shape[axis]

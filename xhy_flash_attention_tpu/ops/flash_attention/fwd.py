@@ -78,6 +78,7 @@ def _fwd_kernel(
     bm_heads: int = 1,
     num_q_blocks: int = 1,
     has_positions: bool = False,
+    has_eff: bool = False,
 ):
     it = iter(refs)
     if dropout_p > 0.0:
@@ -89,6 +90,8 @@ def _fwd_kernel(
     if has_positions:
         qpstats_ref = next(it)
         kpstats_ref = next(it)
+    if has_eff:
+        next(it)  # effective-kv DMA table: consumed by the index maps only
     q_ref = next(it)
     k_ref = next(it)
     v_ref = next(it)
@@ -385,17 +388,68 @@ def flash_attention_fwd(
         kposp, kpstats = pos_pad_and_stats(kv_positions, bk)
         inputs.extend([qpstats, kpstats])
         num_scalar_prefetch += 2
+
+    # Data-dependent DMA skipping: with FlashMask / blocksparse masks the
+    # pl.when guards skip compute for fully-masked tiles, but the KV tiles
+    # would still stream from HBM. A trace-time visibility map turns into
+    # an "effective fetch index" table (common.effective_kv_table): skipped
+    # steps repeat the resident block index so Pallas issues no traffic —
+    # runtime then tracks the visible area (SURVEY hard part #2).
+    has_eff = has_flashmask or has_blockmask
+    if has_flashmask and has_blockmask and fm_heads != bm_heads:
+        has_eff = False
+    if has_eff:
+        from .common import effective_kv_table, fm_skip_bypass as _fsb
+
+        ho = fm_heads if has_flashmask else bm_heads
+        qs_arr = jnp.arange(nq, dtype=jnp.int32) * bq
+        ql_arr = jnp.minimum(qs_arr + bq, sq) - 1
+        cs_arr = jnp.arange(nkv, dtype=jnp.int32) * bk
+        cl_arr = jnp.minimum(cs_arr + bk - 1, sk - 1)
+        vis = jnp.logical_and(qs_arr[:, None] < sq, cs_arr[None, :] < sk)
+        if has_right:
+            vis = jnp.logical_and(
+                vis, cs_arr[None, :] <= ql_arr[:, None] + offset + window_size[1]
+            )
+        if has_left:
+            vis = jnp.logical_and(
+                vis, cl_arr[None, :] >= qs_arr[:, None] + offset - window_size[0]
+            )
+        vis = jnp.broadcast_to(vis[None, None], (b, ho, nq, nkv))
+        if has_flashmask:
+            r_ = fmp.reshape(b, fm_heads, fmp.shape[2], nkv, bk)
+            mx, mn = r_.max(-1), r_.min(-1)  # (b, hm, nv, nkv)
+            st = lambda v_, w_: (mx if w_ == 0 else mn)[:, :, v_][:, :, None, :]
+            fm_skip, _ = _fsb(
+                flashmask_mode, st,
+                qs_arr[None, None, :, None], (ql_arr + 1)[None, None, :, None],
+            )
+            vis = jnp.logical_and(vis, jnp.logical_not(fm_skip))
+        if has_blockmask:
+            bm_full = expand_block_mask(
+                bmask, gq, gk, bq, bk, nq, nkv, b
+            ).reshape(b, bm_heads, nq, nkv)
+            vis = jnp.logical_and(vis, bm_full != 0)
+        inputs.append(effective_kv_table(vis))
+        num_scalar_prefetch += 1
+        hog = h // ho
+
+        def kv_index_eff(b_, h_, iq, ikv, *refs):
+            eff = refs[-1]
+            hh = h_ // hog if ho > 1 else 0
+            return eff[((b_ * ho + hh) * nq + iq) * nkv + ikv]
     inputs.extend([qp, kp, vp])
+    if has_eff:
+        kv_i = kv_index_eff
+    else:
+        kv_i = lambda b_, h_, iq, ikv, *r: kv_index(iq, ikv)
+    kv_blk = lambda b_, h_, iq, ikv, *r: (
+        b_, h_ // g, kv_i(b_, h_, iq, ikv, *r), 0
+    )
     in_specs.extend([
         pl.BlockSpec((1, 1, bq, d), lambda b_, h_, iq, ikv, *_: (b_, h_, iq, 0)),
-        pl.BlockSpec(
-            (1, 1, bk, d),
-            lambda b_, h_, iq, ikv, *_: (b_, h_ // g, kv_index(iq, ikv), 0),
-        ),
-        pl.BlockSpec(
-            (1, 1, bk, d),
-            lambda b_, h_, iq, ikv, *_: (b_, h_ // g, kv_index(iq, ikv), 0),
-        ),
+        pl.BlockSpec((1, 1, bk, d), kv_blk),
+        pl.BlockSpec((1, 1, bk, d), kv_blk),
     ])
     has_bias = bias is not None
     if has_bias:
@@ -409,11 +463,11 @@ def flash_attention_fwd(
         in_specs.append(
             pl.BlockSpec(
                 (1, 1, bq, bk),
-                lambda b_, h_, iq, ikv, *_, bb=bb, bh=bh: (
+                lambda b_, h_, iq, ikv, *r, bb=bb, bh=bh: (
                     b_ if bb > 1 else 0,
                     h_ if bh > 1 else 0,
                     iq,
-                    kv_index(iq, ikv),
+                    kv_i(b_, h_, iq, ikv, *r),
                 ),
             )
         )
@@ -430,7 +484,7 @@ def flash_attention_fwd(
         in_specs.append(
             pl.BlockSpec(
                 (1, 1, bk),
-                lambda b_, h_, iq, ikv, *_: (b_, 0, kv_index(iq, ikv)),
+                lambda b_, h_, iq, ikv, *r: (b_, 0, kv_i(b_, h_, iq, ikv, *r)),
             )
         )
         inputs.extend([qseg, kseg])
@@ -441,8 +495,8 @@ def flash_attention_fwd(
         in_specs.append(
             pl.BlockSpec(
                 (1, 1, nv, bk),
-                lambda b_, h_, iq, ikv, *_: (
-                    b_, h_ // fm_g, 0, kv_index(iq, ikv)
+                lambda b_, h_, iq, ikv, *r: (
+                    b_, h_ // fm_g, 0, kv_i(b_, h_, iq, ikv, *r)
                 ),
             )
         )
@@ -455,7 +509,7 @@ def flash_attention_fwd(
         in_specs.append(
             pl.BlockSpec(
                 (1, 1, bk),
-                lambda b_, h_, iq, ikv, *_: (b_, 0, kv_index(iq, ikv)),
+                lambda b_, h_, iq, ikv, *r: (b_, 0, kv_i(b_, h_, iq, ikv, *r)),
             )
         )
         inputs.extend([qposp[:, :, None], kposp[:, None, :]])
@@ -494,6 +548,7 @@ def flash_attention_fwd(
         bm_heads=bm_heads if has_blockmask else 1,
         num_q_blocks=nq,
         has_positions=has_positions,
+        has_eff=has_eff,
     )
 
     grid = (b, h, nq, nkv)
