@@ -20,27 +20,41 @@ from xhy_flash_attention_tpu.models.gpt import GPTConfig, GPTLMHeadModel
 
 
 def run(batch=8, context=2048, steps=24):
-    cfg = GPTConfig(
-        vocab_size=32000, hidden_size=2048, num_hidden_layers=16,
-        num_attention_heads=16, num_attention_heads_kv=8,
-        intermediate_size=5632, max_position_embeddings=0,
-        rotary_emb_fraction=1.0, rms_norm=True,
-        activation_function="swiglu", tie_word_embeddings=False,
-        qkv_proj_bias=False, out_proj_bias=False,
-        mlp_fc1_bias=False, mlp_fc2_bias=False,
-        pad_vocab_size_multiple=128, dtype=jnp.bfloat16,
-    )
-    model = GPTLMHeadModel(cfg)
+    def make_cfg(**kw):
+        return GPTConfig(
+            vocab_size=32000, hidden_size=2048, num_hidden_layers=16,
+            num_attention_heads=16, num_attention_heads_kv=8,
+            intermediate_size=5632, max_position_embeddings=0,
+            rotary_emb_fraction=1.0, rms_norm=True,
+            activation_function="swiglu", tie_word_embeddings=False,
+            qkv_proj_bias=False, out_proj_bias=False,
+            mlp_fc1_bias=False, mlp_fc2_bias=False,
+            pad_vocab_size_multiple=128, dtype=jnp.bfloat16, **kw,
+        )
+
+    cfg = make_cfg()
+    model_f = GPTLMHeadModel(cfg)
     rng = np.random.default_rng(0)
-    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 8), jnp.int32))
-    n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
+    params_f = model_f.init(jax.random.PRNGKey(0),
+                            jnp.zeros((1, 8), jnp.int32))
+    n_params = sum(x.size for x in jax.tree_util.tree_leaves(params_f))
     print(f"model: {n_params/1e9:.2f}B params, batch={batch}, "
           f"context={context}", flush=True)
+
+    from xhy_flash_attention_tpu.models.gpt import quantize_gpt_params
+
+    cfg_q = make_cfg(weight_quant="int8")
+    params_q = quantize_gpt_params(params_f, cfg_q)
+    model_q = GPTLMHeadModel(cfg_q)
 
     prompt_len = context - steps - 1
     ids = jnp.asarray(rng.integers(0, 32000, (batch, prompt_len)), jnp.int32)
 
-    for name, cache_dtype in [("bf16", jnp.bfloat16), ("int8", jnp.int8)]:
+    for name, model, params, cache_dtype in [
+        ("bf16 w / bf16 KV", model_f, params_f, jnp.bfloat16),
+        ("bf16 w / int8 KV", model_f, params_f, jnp.int8),
+        ("int8 w / int8 KV", model_q, params_q, jnp.int8),
+    ]:
         caches = model.allocate_kv_caches(batch, context, dtype=cache_dtype)
 
         @jax.jit
@@ -82,7 +96,7 @@ def run(batch=8, context=2048, steps=24):
             t1s.append(t1 - t0)
             t2s.append(t2 - t1)
         dt = (statistics.median(t2s) - statistics.median(t1s)) / (steps - 4)
-        print(f"  {name} KV: {batch/dt:,.0f} tokens/s/chip "
+        print(f"  {name}: {batch/dt:,.0f} tokens/s/chip "
               f"({dt*1e3:.2f} ms/step)", flush=True)
 
 

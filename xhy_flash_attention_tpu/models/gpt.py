@@ -68,10 +68,18 @@ class GPTConfig:
     # rematerialize each block in backward (jax.checkpoint — trades ~1/3
     # more FLOPs for O(layers) less activation memory)
     remat: bool = False
+    # weight-only quantized projections: None | "int8" | "int4" (serving;
+    # load weights via quantize_gpt_params)
+    weight_quant: Optional[str] = None
     # inside shard_map: Megatron tensor/sequence parallelism (D2/D3)
     tensor_parallel_axis: Optional[str] = None
     sequence_parallel: bool = False
     dtype: Any = jnp.float32
+
+    @property
+    def weight_quant_dtype(self):
+        return {None: None, "int8": jnp.int8, "int4": jnp.int4}[
+            self.weight_quant]
 
     @property
     def padded_vocab_size(self) -> int:
@@ -102,6 +110,7 @@ def _mixer_cls(config: GPTConfig):
         tp_axis=config.tensor_parallel_axis,
         sequence_parallel=config.sequence_parallel,
         dtype=config.dtype,
+        weight_quant_dtype=config.weight_quant_dtype,
     )
 
 
@@ -132,6 +141,7 @@ def _mlp_cls(config: GPTConfig):
             tp_axis=config.tensor_parallel_axis,
             sequence_parallel=config.sequence_parallel,
             dtype=config.dtype,
+            weight_quant_dtype=config.weight_quant_dtype,
         )
     return functools.partial(
         Mlp,
@@ -142,6 +152,7 @@ def _mlp_cls(config: GPTConfig):
         tp_axis=config.tensor_parallel_axis,
         sequence_parallel=config.sequence_parallel,
         dtype=config.dtype,
+        weight_quant_dtype=config.weight_quant_dtype,
     )
 
 
@@ -236,6 +247,15 @@ class GPTLMHeadModel(nn.Module):
             )
             self.transformer = GPTModel(c, shared_embed=self.wte,
                                         name="transformer")
+        elif c.weight_quant is not None:
+            from ..modules.linear import QuantDense
+
+            self.transformer = GPTModel(c, name="transformer")
+            self.lm_head = QuantDense(
+                c.padded_vocab_size, use_bias=c.lm_head_bias,
+                quant_dtype=c.weight_quant_dtype, dtype=c.dtype,
+                name="lm_head",
+            )
         else:
             self.transformer = GPTModel(c, name="transformer")
             self.lm_head = nn.Dense(
@@ -302,6 +322,39 @@ class GPTLMHeadModel(nn.Module):
             (jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
             for _ in range(c.num_hidden_layers)
         ]
+
+
+def quantize_gpt_params(params, config: GPTConfig):
+    """Float params -> weight-only-quantized params for a model built with
+    config.weight_quant set: every projection `kernel` (mixer/mlp/lm_head)
+    becomes (kernel_q, kernel_scale) with per-output-channel scales
+    (≙ BASELINE config #3 weight-only INT8/INT4 serving). Embeddings and
+    norms stay float (their reads are negligible)."""
+    from ..ops.quant import quantize_weight
+
+    dtype = config.weight_quant_dtype
+    assert dtype is not None, "config.weight_quant must be set"
+
+    def walk(tree, in_proj):
+        out = {}
+        for key, val in tree.items():
+            proj_scope = in_proj or key in ("mixer", "mlp", "lm_head")
+            if isinstance(val, dict):
+                if "kernel" in val and proj_scope:
+                    new = {kk: vv for kk, vv in val.items() if kk != "kernel"}
+                    wq, scale = quantize_weight(val["kernel"], dtype)
+                    new["kernel_q"] = wq
+                    new["kernel_scale"] = scale
+                    out[key] = new
+                else:
+                    out[key] = walk(val, proj_scope)
+            else:
+                out[key] = val
+        return out
+
+    p = dict(params["params"]) if "params" in params else dict(params)
+    quantized = walk(p, False)
+    return {"params": quantized} if "params" in params else quantized
 
 
 # ---------------------------------------------------------------------------

@@ -48,8 +48,12 @@ class MHA(nn.Module):
     tp_axis: Optional[str] = None       # inside shard_map: Megatron TP
     sequence_parallel: bool = False
     dtype: jnp.dtype = jnp.float32
+    # weight-only quantized projections (int8/int4; serving path)
+    weight_quant_dtype: Optional[jnp.dtype] = None
 
     def setup(self):
+        from .linear import QuantDense
+
         h = self.num_heads
         hk = self.num_heads_kv if self.num_heads_kv is not None else h
         assert h % hk == 0
@@ -57,10 +61,17 @@ class MHA(nn.Module):
         self._h, self._hk, self._d = h, hk, d
         init = nn.initializers.normal(stddev=0.02)
         if not self.cross_attn:
-            self.Wqkv = nn.Dense(
-                (h + 2 * hk) * d, use_bias=self.qkv_proj_bias,
-                dtype=self.dtype, kernel_init=init, name="Wqkv",
-            )
+            if self.weight_quant_dtype is not None:
+                self.Wqkv = QuantDense(
+                    (h + 2 * hk) * d, use_bias=self.qkv_proj_bias,
+                    quant_dtype=self.weight_quant_dtype, dtype=self.dtype,
+                    name="Wqkv",
+                )
+            else:
+                self.Wqkv = nn.Dense(
+                    (h + 2 * hk) * d, use_bias=self.qkv_proj_bias,
+                    dtype=self.dtype, kernel_init=init, name="Wqkv",
+                )
         else:
             self.Wq = nn.Dense(h * d, use_bias=self.qkv_proj_bias,
                                dtype=self.dtype, kernel_init=init, name="Wq")
@@ -69,7 +80,8 @@ class MHA(nn.Module):
         self.out_proj = RowParallelDense(
             self.embed_dim, use_bias=self.out_proj_bias,
             tp_axis=self.tp_axis, sequence_parallel=self.sequence_parallel,
-            dtype=self.dtype, name="out_proj",
+            dtype=self.dtype, quant_dtype=self.weight_quant_dtype,
+            name="out_proj",
         )
         if self.rotary_emb_dim > 0:
             self.rotary = RotaryEmbedding(

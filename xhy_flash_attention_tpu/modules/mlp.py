@@ -37,19 +37,30 @@ class Mlp(nn.Module):
     tp_axis: Optional[str] = None
     sequence_parallel: bool = False
     dtype: jnp.dtype = jnp.float32
+    weight_quant_dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x):
+        from .linear import QuantDense
+
         out_features = self.out_features or x.shape[-1]
         init = nn.initializers.normal(stddev=0.02)
         x = gather_sp_input(x, self.tp_axis, self.sequence_parallel)
-        y = nn.Dense(self.hidden_features, use_bias=self.bias1,
-                     dtype=self.dtype, kernel_init=init, name="fc1")(x)
+        if self.weight_quant_dtype is not None:
+            fc1 = QuantDense(self.hidden_features, use_bias=self.bias1,
+                             quant_dtype=self.weight_quant_dtype,
+                             dtype=self.dtype, name="fc1")
+        else:
+            fc1 = nn.Dense(self.hidden_features, use_bias=self.bias1,
+                           dtype=self.dtype, kernel_init=init, name="fc1")
+        y = fc1(x)
         y = _ACTS[self.activation](y)
         return RowParallelDense(out_features, use_bias=self.bias2,
                                 tp_axis=self.tp_axis,
                                 sequence_parallel=self.sequence_parallel,
-                                dtype=self.dtype, name="fc2")(y)
+                                dtype=self.dtype,
+                                quant_dtype=self.weight_quant_dtype,
+                                name="fc2")(y)
 
 
 class GatedMlp(nn.Module):
@@ -65,16 +76,25 @@ class GatedMlp(nn.Module):
     tp_axis: Optional[str] = None
     sequence_parallel: bool = False
     dtype: jnp.dtype = jnp.float32
+    weight_quant_dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x):
+        from .linear import QuantDense
+
         out_features = self.out_features or x.shape[-1]
         hidden = self.hidden_features
         hidden = (hidden + self.multiple_of - 1) // self.multiple_of * self.multiple_of
         init = nn.initializers.normal(stddev=0.02)
         x = gather_sp_input(x, self.tp_axis, self.sequence_parallel)
-        y = nn.Dense(2 * hidden, use_bias=self.bias1, dtype=self.dtype,
-                     kernel_init=init, name="fc1")(x)
+        if self.weight_quant_dtype is not None:
+            fc1 = QuantDense(2 * hidden, use_bias=self.bias1,
+                             quant_dtype=self.weight_quant_dtype,
+                             dtype=self.dtype, name="fc1")
+        else:
+            fc1 = nn.Dense(2 * hidden, use_bias=self.bias1, dtype=self.dtype,
+                           kernel_init=init, name="fc1")
+        y = fc1(x)
         gate, up = jnp.split(y, 2, axis=-1)
         if self.activation == "silu":
             y = swiglu(gate, up)
@@ -83,4 +103,6 @@ class GatedMlp(nn.Module):
         return RowParallelDense(out_features, use_bias=self.bias2,
                                 tp_axis=self.tp_axis,
                                 sequence_parallel=self.sequence_parallel,
-                                dtype=self.dtype, name="fc2")(y)
+                                dtype=self.dtype,
+                                quant_dtype=self.weight_quant_dtype,
+                                name="fc2")(y)
