@@ -145,7 +145,11 @@ def flash_decode(
     b, sq, h, d = q.shape
     hk, S = k_cache.shape[1], k_cache.shape[2]
     if block_k is None:
-        block_k = min(2048, round_up(S, 512))
+        # target ~0.5-1 MB per KV tile: quantized payloads are 1 byte/elem
+        # so they want twice the tokens per block (v5e: int8 at 2048 -> 71%
+        # of HBM BW, at 4096 -> ~95-105%)
+        big = 4096 if k_cache.dtype.itemsize == 1 else 2048
+        block_k = min(big, round_up(S, 512))
     g = h // hk
     rows = sq * g
     rows_p = round_up(max(8, rows), 8)
