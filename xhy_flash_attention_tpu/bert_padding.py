@@ -35,6 +35,13 @@ def index_put_first_axis(values: jax.Array, indices: jax.Array,
     return out.at[indices].set(values)
 
 
+def index_first_axis_residual(x: jax.Array, indices: jax.Array):
+    """Gather rows and pass the full tensor through as a residual
+    (≙ IndexFirstAxisResidual :65 — the reference needs a custom autograd
+    Function to fuse the two grads; JAX differentiates the pair natively)."""
+    return jnp.take(x, indices, axis=0), x
+
+
 def unpad_input(
     hidden_states: jax.Array,
     attention_mask: jax.Array,

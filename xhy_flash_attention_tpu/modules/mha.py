@@ -50,6 +50,9 @@ class MHA(nn.Module):
     dtype: jnp.dtype = jnp.float32
     # weight-only quantized projections (int8/int4; serving path)
     weight_quant_dtype: Optional[jnp.dtype] = None
+    # causal depthwise conv on q/k/v after projection (≙ reference
+    # MHA dwconv option: Conv1d(k=3, groups=dim) + [..., :-2])
+    dwconv: bool = False
 
     def setup(self):
         from .linear import QuantDense
@@ -89,6 +92,12 @@ class MHA(nn.Module):
                 interleaved=self.rotary_emb_interleaved,
                 scale_base=self.rotary_emb_scale_base,
             )
+        if self.dwconv and not self.cross_attn:
+            self.dwconv_qkv = nn.Conv(
+                (h + 2 * hk) * d, kernel_size=(3,), padding="VALID",
+                feature_group_count=(h + 2 * hk) * d, dtype=self.dtype,
+                name="dwconv_qkv",
+            )
 
     def __call__(
         self,
@@ -115,6 +124,10 @@ class MHA(nn.Module):
         h, hk, d = self._h, self._hk, self._d
         if not self.cross_attn:
             qkv = self.Wqkv(x)
+            if self.dwconv:
+                qkv = self.dwconv_qkv(
+                    jnp.pad(qkv, ((0, 0), (2, 0), (0, 0)))
+                )  # causal k=3 depthwise (left pad ≙ reference [..., :-2])
             q = qkv[..., : h * d].reshape(b, sq, h, d)
             k = qkv[..., h * d : (h + hk) * d].reshape(b, sq, hk, d)
             v = qkv[..., (h + hk) * d :].reshape(b, sq, hk, d)
