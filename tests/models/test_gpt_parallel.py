@@ -144,3 +144,66 @@ def test_tp_with_dp_and_grads():
         err = float(jnp.abs(vtp - vref).max())
         scale = float(jnp.abs(vref).max())
         assert err < 2e-3 + 2e-3 * scale, (jax.tree_util.keystr(k), err, scale)
+
+
+def test_tp_generation_matches_single_device():
+    """Greedy cached decode under TP == single-device decode
+    (≙ reference tests/models/test_gpt_generation_parallel.py)."""
+    tp = 4
+    cfg = _mk_config(dtype=jnp.float32)
+    model = GPTLMHeadModel(cfg)
+    rng = np.random.default_rng(0)
+    prompt = rng.integers(0, cfg.vocab_size, (1, 7)).astype(np.int32)
+    params = model.init(jax.random.PRNGKey(0), jnp.asarray(prompt))
+
+    # single-device golden decode
+    S = 64
+    caches = model.allocate_kv_caches(1, S, dtype=jnp.float32)
+    logits, caches = model.apply(
+        params, jnp.asarray(prompt), kv_caches=caches, seqlen_offset=0
+    )
+    toks = [int(jnp.argmax(logits[0, -1]))]
+    n = prompt.shape[1]
+    for step in range(5):
+        logits, caches = model.apply(
+            params, jnp.asarray([[toks[-1]]], jnp.int32), kv_caches=caches,
+            seqlen_offset=n + step,
+        )
+        toks.append(int(jnp.argmax(logits[0, 0])))
+
+    # TP decode: heads and caches sharded over tp; logits vocab-sharded and
+    # concatenated by the out spec
+    mesh = make_mesh(dp=1, tp=tp)
+    lc = local_config(cfg, tp, sequence_parallel=False)
+    model_tp = GPTLMHeadModel(lc)
+    params_tp, specs = shard_gpt_params(params, cfg, tp, mesh)
+    hk = cfg.num_attention_heads_kv
+    d = cfg.hidden_size // cfg.num_attention_heads
+    kc = jnp.zeros((1, hk, S, d), jnp.float32)
+    cache_specs = [(P(None, "tp", None, None), P(None, "tp", None, None))
+                   for _ in range(cfg.num_hidden_layers)]
+    caches_tp = [(kc, kc) for _ in range(cfg.num_hidden_layers)]
+
+    def run(p, ids, caches, offset):
+        logits, caches = model_tp.apply(
+            p, ids, kv_caches=caches, seqlen_offset=offset
+        )
+        return logits, caches
+
+    def make(offset, seqlen):
+        return shard_map(
+            functools.partial(run, offset=offset),
+            mesh=mesh,
+            in_specs=(specs, P(), cache_specs),
+            out_specs=(P(None, None, "tp"), cache_specs),
+            check_vma=False,
+        )
+
+    logits, caches_tp = make(0, n)(params_tp, jnp.asarray(prompt), caches_tp)
+    toks_tp = [int(jnp.argmax(logits[0, -1, :cfg.vocab_size]))]
+    for step in range(5):
+        logits, caches_tp = make(n + step, 1)(
+            params_tp, jnp.asarray([[toks_tp[-1]]], jnp.int32), caches_tp
+        )
+        toks_tp.append(int(jnp.argmax(logits[0, 0, :cfg.vocab_size])))
+    assert toks_tp == toks, (toks_tp, toks)
