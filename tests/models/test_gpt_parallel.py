@@ -207,3 +207,29 @@ def test_tp_generation_matches_single_device():
         )
         toks_tp.append(int(jnp.argmax(logits[0, 0, :cfg.vocab_size])))
     assert toks_tp == toks, (toks_tp, toks)
+
+
+def test_context_parallel_forward_matches_single_device():
+    """Ring attention inside the model: sequence sharded over a cp axis,
+    logits match the single-device forward (SURVEY D5 new design)."""
+    cp = 4
+    cfg = _mk_config(dtype=jnp.float32)
+    model = GPTLMHeadModel(cfg)
+    rng = np.random.default_rng(0)
+    ids = jnp.asarray(rng.integers(0, cfg.vocab_size, (2, 256)), jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), ids[:, :8])
+    expect, _ = model.apply(params, ids)
+
+    cfg_cp = GPTConfig(**{**cfg.__dict__, "context_parallel_axis": "tp"})
+    model_cp = GPTLMHeadModel(cfg_cp)
+    mesh = make_mesh(dp=1, tp=cp)
+    out = shard_map(
+        lambda p, x: model_cp.apply(p, x)[0],
+        mesh=mesh,
+        in_specs=(P(), P(None, "tp")),
+        out_specs=P(None, "tp"),
+        check_vma=False,
+    )(params, ids)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(expect), atol=2e-4, rtol=1e-3
+    )

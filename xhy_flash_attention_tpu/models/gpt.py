@@ -71,6 +71,9 @@ class GPTConfig:
     # weight-only quantized projections: None | "int8" | "int4" (serving;
     # load weights via quantize_gpt_params)
     weight_quant: Optional[str] = None
+    # inside shard_map with the sequence sharded on this axis: ring
+    # attention in every layer (context parallelism)
+    context_parallel_axis: Optional[str] = None
     # inside shard_map: Megatron tensor/sequence parallelism (D2/D3)
     tensor_parallel_axis: Optional[str] = None
     sequence_parallel: bool = False
@@ -111,6 +114,7 @@ def _mixer_cls(config: GPTConfig):
         sequence_parallel=config.sequence_parallel,
         dtype=config.dtype,
         weight_quant_dtype=config.weight_quant_dtype,
+        context_parallel_axis=config.context_parallel_axis,
     )
 
 
@@ -166,6 +170,14 @@ class GPTModel(nn.Module):
                  dropout_seeds=None):
         """Returns (hidden_states, new_kv_caches)."""
         c = self.config
+        if (c.context_parallel_axis is not None
+                and isinstance(seqlen_offset, int) and seqlen_offset == 0):
+            # context parallelism: this shard's rows start at its global
+            # offset (positions/rotary must see absolute positions)
+            seqlen_offset = (
+                jax.lax.axis_index(c.context_parallel_axis)
+                * input_ids.shape[1]
+            )
         x = GPT2Embeddings(
             embed_dim=c.hidden_size,
             vocab_size=c.padded_vocab_size,

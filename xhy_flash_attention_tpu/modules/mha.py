@@ -53,6 +53,9 @@ class MHA(nn.Module):
     # causal depthwise conv on q/k/v after projection (≙ reference
     # MHA dwconv option: Conv1d(k=3, groups=dim) + [..., :-2])
     dwconv: bool = False
+    # inside shard_map with the sequence sharded on this axis: ring
+    # attention (context parallelism — new cross-chip long-context design)
+    context_parallel_axis: Optional[str] = None
 
     def setup(self):
         from .linear import QuantDense
@@ -146,13 +149,19 @@ class MHA(nn.Module):
                 offset=seqlen_offset if isinstance(seqlen_offset, int) else 0,
             )
             if not isinstance(seqlen_offset, int):
-                # traced offset (decode): rebuild at absolute positions;
-                # a (b,) offset vector (ragged continuous batching) yields
-                # per-sample (b, sq, ro/2) tables, broadcast over heads
+                # traced offset (decode / context-parallel shards): rebuild
+                # at absolute positions; a (b,) offset vector (ragged
+                # continuous batching) yields per-sample (b, sq, ro/2)
+                # tables, broadcast over heads
                 if paged:
                     max_pos = kv_cache.page_table.shape[1] * kv_cache.page_size
+                elif kv_cache is not None:
+                    max_pos = kv_cache[0].shape[2]
+                elif self.context_parallel_axis is not None:
+                    # global sequence length across the cp shards
+                    max_pos = sq * jax.lax.psum(1, self.context_parallel_axis)
                 else:
-                    max_pos = kv_cache[0].shape[2] if kv_cache is not None else sq
+                    max_pos = sq
                 cos_full, sin_full, _, _ = self.rotary.cos_sin(
                     max_pos, q.dtype,
                 )
@@ -247,6 +256,16 @@ class MHA(nn.Module):
         qt = jnp.swapaxes(q, 1, 2)
         kt = jnp.swapaxes(k, 1, 2)
         vt = jnp.swapaxes(v, 1, 2)
+        if self.context_parallel_axis is not None:
+            # sequence sharded over the cp mesh axis: ring attention
+            # (parallel/ring.py; new cross-chip design, SURVEY D5)
+            from ..parallel.ring import ring_flash_attention
+
+            out = ring_flash_attention(
+                qt, kt, vt, self.context_parallel_axis, self.causal,
+                self.softmax_scale, self.softcap,
+            )
+            return jnp.swapaxes(out, 1, 2)
         out = flash_attention(
             qt, kt, vt, None, q_seg, kv_seg,
             softmax_scale=self.softmax_scale,
