@@ -214,6 +214,28 @@ class Trainer:
 
     # ---- loop -------------------------------------------------------------
 
+    def profile_step(self, trace_dir: str = "/tmp/xfa_train_trace") -> str:
+        """Capture a jax profiler trace of one train step (≙ the reference's
+        pytorch_profiler hook in utils/benchmark.py; view with xprof)."""
+        if self.params is None and not self.maybe_resume():
+            self.init_params()
+        if self._step_fn is None:
+            self._step_fn = self._build_step()
+        ids, labels = next(iter(self.data))
+        args = (self.params, self.opt_state, jnp.asarray(ids),
+                jnp.asarray(labels))
+        out = self._step_fn(*args)  # compile outside the trace
+        jax.block_until_ready(out[2])
+        self.params, self.opt_state = out[0], out[1]
+        ids, labels = next(iter(self.data))
+        with jax.profiler.trace(trace_dir):
+            out = self._step_fn(self.params, self.opt_state,
+                                jnp.asarray(ids), jnp.asarray(labels))
+            jax.block_until_ready(out[2])
+        self.params, self.opt_state = out[0], out[1]
+        self.step += 2
+        return trace_dir
+
     def fit(self, max_steps: Optional[int] = None, log=print):
         cfg = self.cfg
         max_steps = max_steps or cfg.max_steps
