@@ -135,6 +135,8 @@ def _bwd_dkv_kernel(refs, *, params):
     if has_positions:
         qpstats_ref = next(it)
         kpstats_ref = next(it)
+    if params.get("has_eff", False):
+        next(it)  # effective-fetch DMA table: used by index maps only
     q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref = (
         next(it), next(it), next(it), next(it), next(it), next(it),
     )
@@ -304,6 +306,8 @@ def _bwd_dq_kernel(refs, *, params):
     if has_positions:
         qpstats_ref = next(it)
         kpstats_ref = next(it)
+    if params.get("has_eff", False):
+        next(it)  # effective-fetch DMA table: used by index maps only
     q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref = (
         next(it), next(it), next(it), next(it), next(it), next(it),
     )
@@ -509,12 +513,12 @@ def flash_attention_bwd(
         )
         inputs = [qp, kp, vp, dop, lsep, deltap]
         specs = [
-            pl.BlockSpec((1, 1, bq, d), lambda b_, h_, i, j, *_: (b_, h_, q_index(i, j), 0)),
-            pl.BlockSpec((1, 1, bk, d), lambda b_, h_, i, j, *_: (b_, h_ // g, kv_index(i, j), 0)),
-            pl.BlockSpec((1, 1, bk, d), lambda b_, h_, i, j, *_: (b_, h_ // g, kv_index(i, j), 0)),
-            pl.BlockSpec((1, 1, bq, d), lambda b_, h_, i, j, *_: (b_, h_, q_index(i, j), 0)),
-            pl.BlockSpec((1, 1, bq, 8), lambda b_, h_, i, j, *_: (b_, h_, q_index(i, j), 0)),
-            pl.BlockSpec((1, 1, bq, 8), lambda b_, h_, i, j, *_: (b_, h_, q_index(i, j), 0)),
+            pl.BlockSpec((1, 1, bq, d), lambda b_, h_, i, j, *r: (b_, h_, q_index(b_, h_, i, j, *r), 0)),
+            pl.BlockSpec((1, 1, bk, d), lambda b_, h_, i, j, *r: (b_, h_ // g, kv_index(b_, h_, i, j, *r), 0)),
+            pl.BlockSpec((1, 1, bk, d), lambda b_, h_, i, j, *r: (b_, h_ // g, kv_index(b_, h_, i, j, *r), 0)),
+            pl.BlockSpec((1, 1, bq, d), lambda b_, h_, i, j, *r: (b_, h_, q_index(b_, h_, i, j, *r), 0)),
+            pl.BlockSpec((1, 1, bq, 8), lambda b_, h_, i, j, *r: (b_, h_, q_index(b_, h_, i, j, *r), 0)),
+            pl.BlockSpec((1, 1, bq, 8), lambda b_, h_, i, j, *r: (b_, h_, q_index(b_, h_, i, j, *r), 0)),
         ]
         if has_bias:
             bp = pad_to_block(pad_to_block(bias, 3, bk), 2, bq)
@@ -522,9 +526,10 @@ def flash_attention_bwd(
             specs.append(
                 pl.BlockSpec(
                     (1, 1, bq, bk),
-                    lambda b_, h_, i, j, *_, bb=bb, bh=bh: (
+                    lambda b_, h_, i, j, *r, bb=bb, bh=bh: (
                         b_ if bb > 1 else 0, h_ if bh > 1 else 0,
-                        q_index(i, j), kv_index(i, j),
+                        q_index(b_, h_, i, j, *r),
+                        kv_index(b_, h_, i, j, *r),
                     ),
                 )
             )
@@ -537,10 +542,10 @@ def flash_attention_bwd(
                 kv_segment_ids.astype(jnp.int32), 1, bk
             )[:, None, :]
             specs.append(pl.BlockSpec(
-                (1, bq, 1), lambda b_, h_, i, j, *_: (b_, q_index(i, j), 0)
+                (1, bq, 1), lambda b_, h_, i, j, *r: (b_, q_index(b_, h_, i, j, *r), 0)
             ))
             specs.append(pl.BlockSpec(
-                (1, 1, bk), lambda b_, h_, i, j, *_: (b_, 0, kv_index(i, j))
+                (1, 1, bk), lambda b_, h_, i, j, *r: (b_, 0, kv_index(b_, h_, i, j, *r))
             ))
             inputs.extend([qsegp, ksegp])
         if has_flashmask:
@@ -549,7 +554,7 @@ def flash_attention_bwd(
             fm_g = h // fm_heads
             specs.append(pl.BlockSpec(
                 (1, 1, nv, bk),
-                lambda b_, h_, i, j, *_: (b_, h_ // fm_g, 0, kv_index(i, j)),
+                lambda b_, h_, i, j, *r: (b_, h_ // fm_g, 0, kv_index(b_, h_, i, j, *r)),
             ))
             inputs.append(fmp)
         if has_positions:
@@ -558,10 +563,10 @@ def flash_attention_bwd(
             qposp, _ = pos_pad_and_stats(q_positions, bq)
             kposp, _ = pos_pad_and_stats(kv_positions, bk)
             specs.append(pl.BlockSpec(
-                (1, bq, 1), lambda b_, h_, i, j, *_: (b_, q_index(i, j), 0)
+                (1, bq, 1), lambda b_, h_, i, j, *r: (b_, q_index(b_, h_, i, j, *r), 0)
             ))
             specs.append(pl.BlockSpec(
-                (1, 1, bk), lambda b_, h_, i, j, *_: (b_, 0, kv_index(i, j))
+                (1, 1, bk), lambda b_, h_, i, j, *r: (b_, 0, kv_index(b_, h_, i, j, *r))
             ))
             inputs.extend([qposp[:, :, None], kposp[:, None, :]])
         return inputs, specs, qp.shape[2], kp.shape[2]
@@ -598,13 +603,76 @@ def flash_attention_bwd(
         bmask, gq, gk = block_mask
         return [expand_block_mask(bmask, gq, gk, bq, bk, nq, nkv, b)]
 
+    # Effective-fetch tables kill the HBM traffic of mask-skipped tiles
+    # (same scheme as fwd.py; see common.effective_kv_table). The dKV kernel
+    # iterates q innermost so it gets an effective-Q table; the dQ kernel an
+    # effective-KV table. Disabled with bias (dbias write pattern) and with
+    # mismatched mask-head counts.
+    use_eff = (
+        (has_flashmask or has_blockmask) and not has_bias
+        and not has_positions
+        and not (has_flashmask and has_blockmask and fm_heads != bm_heads)
+    )
+    if use_eff:
+        num_prefetch += 1
+    eff_ho = fm_heads if has_flashmask else bm_heads
+
+    def visibility(bq, bk, nq, nkv):
+        from .common import fm_skip_bypass as _fsb
+
+        qs_arr = jnp.arange(nq, dtype=jnp.int32) * bq
+        ql_arr = jnp.minimum(qs_arr + bq, sq) - 1
+        cs_arr = jnp.arange(nkv, dtype=jnp.int32) * bk
+        cl_arr = jnp.minimum(cs_arr + bk - 1, sk - 1)
+        vis = jnp.logical_and(qs_arr[:, None] < sq, cs_arr[None, :] < sk)
+        if has_right:
+            vis = jnp.logical_and(
+                vis,
+                cs_arr[None, :] <= ql_arr[:, None] + offset + window_size[1],
+            )
+        if has_left:
+            vis = jnp.logical_and(
+                vis,
+                cl_arr[None, :] >= qs_arr[:, None] + offset - window_size[0],
+            )
+        vis = jnp.broadcast_to(vis[None, None], (b, eff_ho, nq, nkv))
+        if has_flashmask:
+            fmp = fm_pad_vecs(flashmask_vecs, flashmask_mode, bk)
+            r_ = fmp.reshape(b, fm_heads, fmp.shape[2], nkv, bk)
+            mx, mn = r_.max(-1), r_.min(-1)
+            st = lambda v_, w_: (mx if w_ == 0 else mn)[:, :, v_][:, :, None, :]
+            fm_skip, _ = _fsb(
+                flashmask_mode, st,
+                qs_arr[None, None, :, None], (ql_arr + 1)[None, None, :, None],
+            )
+            vis = jnp.logical_and(vis, jnp.logical_not(fm_skip))
+        if has_blockmask:
+            bmask, gq, gk = block_mask
+            bm_full = expand_block_mask(
+                bmask, gq, gk, bq, bk, nq, nkv, b
+            ).reshape(b, bm_heads, nq, nkv)
+            vis = jnp.logical_and(vis, bm_full != 0)
+        return vis
+
+    def eff_index_fn(n_outer, n_inner):
+        """Index fn reading the eff table (last scalar ref) at
+        ((b*ho + hh)*n_outer + i)*n_inner + j."""
+        hog = h // eff_ho
+
+        def fn(b_, h_, i, j, *refs):
+            eff = refs[-1]
+            hh = h_ // hog if eff_ho > 1 else 0
+            return eff[((b_ * eff_ho + hh) * n_outer + i) * n_inner + j]
+
+        return fn
+
     # ---- dKV kernel: grid (b, h, kv-block, q-block) ----
     bq1, bk1 = block_sizes.block_q_dkv, block_sizes.block_k_dkv
     bq1 = min(bq1, round_up(sq, 128))
     bk1 = min(bk1, round_up(sk, 128))
     nq1, nkv1 = -(-round_up(sq, bq1) // bq1), -(-round_up(sk, bk1) // bk1)
 
-    def q_index_dkv(ikv, iq):
+    def q_index_dkv(b_, h_, ikv, iq, *refs):
         # clamp skipped q blocks onto the resident block to kill dead DMAs;
         # with a dbias output every (q, kv) block must be visited unclamped.
         if has_bias:
@@ -617,9 +685,18 @@ def flash_attention_bwd(
             iq = jnp.minimum(iq, jnp.maximum(hi, 0))
         return jnp.clip(iq, 0, nq1 - 1)
 
+    eff1 = []
+    if use_eff:
+        from .common import effective_kv_table
+
+        # dKV: inner axis is q — transpose visibility to (b, ho, nkv, nq)
+        eff1 = [effective_kv_table(
+            jnp.swapaxes(visibility(bq1, bk1, nq1, nkv1), 2, 3)
+        )]
+        q_index_dkv = eff_index_fn(nkv1, nq1)
     inputs1, specs1, sqp1, skp1 = make_common(
         bq1, bk1, nq1, nkv1,
-        kv_index=lambda ikv, iq: ikv, q_index=q_index_dkv,
+        kv_index=lambda b_, h_, ikv, iq, *r: ikv, q_index=q_index_dkv,
     )
     params1 = dict(
         sm_scale=sm_scale, softcap=softcap, dropout_p=dropout_p,
@@ -632,6 +709,7 @@ def flash_attention_bwd(
         has_blockmask=has_blockmask,
         bm_heads=bm_heads,
         has_positions=has_positions,
+        has_eff=use_eff,
     )
     out_specs1 = [
         pl.BlockSpec((1, 1, bk1, d), lambda b_, h_, ikv, iq, *_: (b_, h_, ikv, 0)),
@@ -668,7 +746,7 @@ def flash_attention_bwd(
         ),
         interpret=interp,
     )(*seed_input, *fm_prefetch(bk1), *bm_prefetch(bq1, bk1, nq1, nkv1),
-      *pos_prefetch(bq1, bk1), *inputs1)
+      *pos_prefetch(bq1, bk1), *eff1, *inputs1)
     dk_ph, dv_ph = results1[0], results1[1]
     dbias = None
     if has_bias:
@@ -696,7 +774,7 @@ def flash_attention_bwd(
     bk2 = min(bk2, round_up(sk, 128))
     nq2, nkv2 = -(-round_up(sq, bq2) // bq2), -(-round_up(sk, bk2) // bk2)
 
-    def kv_index_dq(iq, ikv):
+    def kv_index_dq(b_, h_, iq, ikv, *refs):
         if has_right:
             hi = jnp.maximum((iq * bq2 + bq2 - 1 + offset + window_size[1]) // bk2, 0)
             ikv = jnp.minimum(ikv, hi)
@@ -705,10 +783,16 @@ def flash_attention_bwd(
             ikv = jnp.maximum(ikv, jnp.maximum(lo, 0))
         return jnp.clip(ikv, 0, nkv2 - 1)
 
+    eff2 = []
+    if use_eff:
+        from .common import effective_kv_table
+
+        eff2 = [effective_kv_table(visibility(bq2, bk2, nq2, nkv2))]
+        kv_index_dq = eff_index_fn(nq2, nkv2)
     inputs2, specs2, sqp2, _ = make_common(
         bq2, bk2, nq2, nkv2,
-        kv_index=lambda iq, ikv: kv_index_dq(iq, ikv),
-        q_index=lambda iq, ikv: iq,
+        kv_index=kv_index_dq,
+        q_index=lambda b_, h_, iq, ikv, *r: iq,
     )
     params2 = dict(params1)
     params2.update(
@@ -731,7 +815,7 @@ def flash_attention_bwd(
         ),
         interpret=interp,
     )(*seed_input, *fm_prefetch(bk2), *bm_prefetch(bq2, bk2, nq2, nkv2),
-      *pos_prefetch(bq2, bk2), *inputs2)
+      *pos_prefetch(bq2, bk2), *eff2, *inputs2)
     dq = dq[:, :, :sq]
     return dq, dk, dv, dbias
 
