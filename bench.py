@@ -45,6 +45,9 @@ def _timed_chain(step_fn, init, n, repeats=5):
     force sync with a scalar host transfer, and difference two chain
     lengths to cancel the fixed overhead. Medians of each chain's repeats
     are differenced (min-of-differences is biased fast by latency spikes).
+    Chains must be long enough that chip time dominates the multi-ms
+    tunnel jitter: short decode chains (n=64, ~10ms of chip time) read
+    3-5% low and swing ±10% between rounds; n=512 (~100ms) is stable ±1%.
     """
     import statistics
 
@@ -102,8 +105,8 @@ def _chip_bw() -> float:
     return 819e9
 
 
-def bench_decode_int8_roofline(b=8, h=32, hk=8, d=128, S=8192, n=64,
-                               rounds=6):
+def bench_decode_int8_roofline(b=8, h=32, hk=8, d=128, S=8192, n=512,
+                               rounds=4):
     """INT8-KV flash decode at Llama-3-8B attention geometry: achieved
     fraction of the HBM-bandwidth roofline (the binding roofline for
     decode attention)."""

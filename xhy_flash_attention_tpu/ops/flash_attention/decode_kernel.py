@@ -37,7 +37,7 @@ from .common import NEG_INF, interpret_mode, round_up
 MIN_LANES = 128
 
 
-def _decode_kernel(lens_ref, *refs,
+def _decode_kernel(lens_ref, hi_ref, *refs,
                    sm_scale, softcap, block_k, sq, g, rows_p,
                    window_left, num_kv_blocks, quantized):
     if quantized:
@@ -58,8 +58,7 @@ def _decode_kernel(lens_ref, *refs,
     length = lens_ref[b_idx]
     c_start = ikv * block_k
 
-    @pl.when(c_start < length)
-    def _run():
+    def _body(apply_mask):
         q = q_ref[0, 0]                      # (rows_p, d)
         k = k_ref[0, 0]                      # (block_k, d)
         if quantized:
@@ -77,17 +76,18 @@ def _decode_kernel(lens_ref, *refs,
         s *= sm_scale
         if softcap > 0.0:
             s = jnp.tanh(s / softcap) * softcap
-        rows = jax.lax.broadcasted_iota(jnp.int32, (rows_p, block_k), 0)
-        cols = c_start + jax.lax.broadcasted_iota(
-            jnp.int32, (rows_p, block_k), 1
-        )
-        # row r = si*g + gi holds query step si at absolute position
-        # length - sq + si
-        pos = length - sq + rows // g
-        mask = cols <= pos
-        if window_left >= 0:
-            mask = jnp.logical_and(mask, cols >= pos - window_left)
-        s = jnp.where(mask, s, NEG_INF)
+        if apply_mask:
+            rows = jax.lax.broadcasted_iota(jnp.int32, (rows_p, block_k), 0)
+            cols = c_start + jax.lax.broadcasted_iota(
+                jnp.int32, (rows_p, block_k), 1
+            )
+            # row r = si*g + gi holds query step si at absolute position
+            # length - sq + si
+            pos = length - sq + rows // g
+            mask = cols <= pos
+            if window_left >= 0:
+                mask = jnp.logical_and(mask, cols >= pos - window_left)
+            s = jnp.where(mask, s, NEG_INF)
 
         m_prev = m_scr[...]
         l_prev = l_scr[...]
@@ -107,6 +107,26 @@ def _decode_kernel(lens_ref, *refs,
             preferred_element_type=jnp.float32,
         )
         acc_scr[...] = acc_scr[...] * alpha[:, :1] + pv
+
+    # Two-branch body (≙ the fwd kernel's fully-unmasked bypass): interior
+    # blocks skip the (rows_p, block_k) iota/compare/where mask work — decode
+    # is consumption-bound, so every VPU pass on the score matrix shows up
+    # in tokens/s. A block needs masking only if it straddles a query
+    # position (causal right edge) or the sliding-window left edge.
+    fully_unmasked = c_start + block_k - 1 <= length - sq
+    if window_left >= 0:
+        fully_unmasked = jnp.logical_and(
+            fully_unmasked, c_start >= length - 1 - window_left
+        )
+    should_run = c_start < length
+
+    @pl.when(jnp.logical_and(should_run, fully_unmasked))
+    def _fast():
+        _body(False)
+
+    @pl.when(jnp.logical_and(should_run, jnp.logical_not(fully_unmasked)))
+    def _masked():
+        _body(True)
 
     @pl.when(ikv == num_kv_blocks - 1)
     def _finish():
@@ -174,13 +194,18 @@ def flash_decode(
         v_scales = v_scales[..., 0][:, :, None, :]
     nkv = Sp // block_k
 
-    def kv_index(b_, h_, ikv, lens_ref):
-        hi = jnp.maximum((lens_ref[b_] - 1) // block_k, 0)
-        return (b_, h_, jnp.minimum(ikv, hi), 0)
+    # Per-batch last-valid-block index, precomputed once and scalar-prefetched
+    # so the per-step index maps are a single min (the div/max on the scalar
+    # core per grid step measurably delayed DMA issue).
+    hi_blocks = jnp.maximum(
+        (jnp.asarray(lengths, jnp.int32) - 1) // block_k, 0
+    )
 
-    def sc_index(b_, h_, ikv, lens_ref):
-        hi = jnp.maximum((lens_ref[b_] - 1) // block_k, 0)
-        return (b_, h_, 0, jnp.minimum(ikv, hi))
+    def kv_index(b_, h_, ikv, lens_ref, hi_ref):
+        return (b_, h_, jnp.minimum(ikv, hi_ref[b_]), 0)
+
+    def sc_index(b_, h_, ikv, lens_ref, hi_ref):
+        return (b_, h_, 0, jnp.minimum(ikv, hi_ref[b_]))
 
     out = pl.pallas_call(
         functools.partial(
@@ -190,7 +215,7 @@ def flash_decode(
             num_kv_blocks=nkv, quantized=quantized,
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
+            num_scalar_prefetch=2,
             grid=(b, hk, nkv),
             in_specs=(
                 [pl.BlockSpec((1, 1, rows_p, d),
@@ -217,7 +242,7 @@ def flash_decode(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret_mode() if interpret is None else interpret,
-    )(jnp.asarray(lengths, jnp.int32), qr,
+    )(jnp.asarray(lengths, jnp.int32), hi_blocks, qr,
       *( (k_cache, k_scales, v_cache, v_scales) if quantized
          else (k_cache, v_cache) ))
     out = out[:, :, :rows].reshape(b, hk, sq, g, d).transpose(0, 2, 1, 3, 4)
