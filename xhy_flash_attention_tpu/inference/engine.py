@@ -33,6 +33,62 @@ from .paged import PagedKVCache
 __all__ = ["Request", "InferenceEngine"]
 
 
+@jax.jit
+def _scatter_prefill(caches, new_kv, page_map, lengths_new):
+    """Scatter bucketed prefill K/V into their pages: ONE device dispatch
+    for all layers x requests x blocks. (The previous per-block
+    dynamic_update_slice loop issued ~layers*blocks*2 dispatches, i.e.
+    seconds per admit through the ~30ms-per-dispatch tunnel.)
+
+    page_map: (nb, cap // page_size) int32 physical page per (request,
+    block); unused blocks point at the engine's trash page (a write sink).
+    lengths_new: (max_batch,) replacement lengths vector (host-computed).
+    """
+    from ..ops.quant import quantize_kv
+
+    idx = page_map.reshape(-1)
+    out = []
+    for cache, (kc, vc) in zip(caches, new_kv):
+        nb, hk, cap, d = kc.shape
+        ps = cache.page_size
+        nblk = -(-cap // ps)
+        if cap != nblk * ps:  # bucket smaller than a page: pad to one page
+            pad = nblk * ps - cap
+            kc = jnp.pad(kc, ((0, 0), (0, 0), (0, pad), (0, 0)))
+            vc = jnp.pad(vc, ((0, 0), (0, 0), (0, pad), (0, 0)))
+            cap = nblk * ps
+
+        def blocks(x, dtype):
+            xb = x.reshape(nb, hk, nblk, ps, d).transpose(0, 2, 1, 3, 4)
+            return xb.reshape(nb * nblk, hk, ps, d).astype(dtype)
+
+        if cache.quantized:
+            kq = quantize_kv(kc, cache.k_pages.dtype)
+            vq = quantize_kv(vc, cache.v_pages.dtype)
+            kvals, vvals = kq.values, vq.values
+
+            def sblocks(s):
+                sb = s[..., 0].reshape(nb, hk, nblk, ps).transpose(0, 2, 1, 3)
+                return sb.reshape(nb * nblk, hk, 1, ps)
+
+            k_scales = cache.k_scales.at[idx].set(sblocks(kq.scales))
+            v_scales = cache.v_scales.at[idx].set(sblocks(vq.scales))
+        else:
+            kvals, vvals = kc, vc
+            k_scales, v_scales = cache.k_scales, cache.v_scales
+        out.append(dataclasses.replace(
+            cache,
+            k_pages=cache.k_pages.at[idx].set(
+                blocks(kvals, cache.k_pages.dtype)),
+            v_pages=cache.v_pages.at[idx].set(
+                blocks(vvals, cache.v_pages.dtype)),
+            k_scales=k_scales,
+            v_scales=v_scales,
+            lengths=lengths_new,
+        ))
+    return out
+
+
 @dataclasses.dataclass
 class Request:
     rid: int
@@ -88,6 +144,12 @@ class InferenceEngine:
             )
             c.page_table = jnp.full_like(c.page_table, self.trash_page)
             self.caches.append(c)
+        # page table + lengths live host-side (the scheduler is host logic);
+        # they are pushed to the device caches once per jitted call instead
+        # of one device-scatter dispatch per allocation
+        self._table = np.full((max_batch, max_pages_per_seq), self.trash_page,
+                              np.int32)
+        self._lengths = np.zeros((max_batch,), np.int32)
         self.free_pages = list(range(num_pages - 2, -1, -1))
         self.slots: List[Optional[Request]] = [None] * max_batch
         self.waiting: List[Request] = []
@@ -103,19 +165,26 @@ class InferenceEngine:
             raise RuntimeError("out of KV pages")
         p = self.free_pages.pop()
         req.pages.append(p)
-        blk = len(req.pages) - 1
-        for c in self.caches:
-            c.page_table = c.page_table.at[req.slot, blk].set(p)
+        self._table[req.slot, len(req.pages) - 1] = p
         return p
 
     def _release(self, req: Request):
         self.free_pages.extend(req.pages)
         req.pages.clear()
-        for c in self.caches:
-            c.lengths = c.lengths.at[req.slot].set(0)
-            c.page_table = c.page_table.at[req.slot].set(self.trash_page)
+        self._table[req.slot] = self.trash_page
+        self._lengths[req.slot] = 0
         self.slots[req.slot] = None
         req.slot = -1
+
+    def _sync_caches(self):
+        """Push the host page table / lengths into every layer cache (one
+        shared device array each)."""
+        table = jnp.asarray(self._table)
+        lengths = jnp.asarray(self._lengths)
+        self.caches = [
+            dataclasses.replace(c, page_table=table, lengths=lengths)
+            for c in self.caches
+        ]
 
     # ---- scheduling -------------------------------------------------------
 
@@ -166,45 +235,22 @@ class InferenceEngine:
             self.params, jnp.asarray(ids), kv_caches=scratch,
             seqlen_offset=0, segment_ids=jnp.asarray(seg),
         )
+        nblk = -(-cap // self.page_size)
+        page_map = np.full((nb, nblk), self.trash_page, np.int32)
         for j, req in enumerate(reqs):
             n = lens[j]
             nblocks = -(-n // self.page_size)
             while len(req.pages) < nblocks:
                 self._alloc_page(req)
-            for li, (kc, vc) in enumerate(new_caches):
-                c = self.caches[li]
-                kcj, vcj = kc[j:j + 1], vc[j:j + 1]
-                if c.quantized:
-                    from ..ops.quant import quantize_kv
-
-                    kq = quantize_kv(kcj, c.k_pages.dtype)
-                    vq = quantize_kv(vcj, c.v_pages.dtype)
-                    kcj, vcj = kq.values, vq.values
-                    # (1, hk, cap, 1) -> lane-major (1, hk, 1, cap)
-                    ks = kq.scales[..., 0][:, :, None, :]
-                    vs = vq.scales[..., 0][:, :, None, :]
-                for blk in range(nblocks):
-                    p = req.pages[blk]
-                    s = blk * self.page_size
-                    c.k_pages = jax.lax.dynamic_update_slice(
-                        c.k_pages, kcj[:, :, s:s + self.page_size].astype(
-                            c.k_pages.dtype), (p, 0, 0, 0)
-                    )
-                    c.v_pages = jax.lax.dynamic_update_slice(
-                        c.v_pages, vcj[:, :, s:s + self.page_size].astype(
-                            c.v_pages.dtype), (p, 0, 0, 0)
-                    )
-                    if c.quantized:
-                        c.k_scales = jax.lax.dynamic_update_slice(
-                            c.k_scales, ks[:, :, :, s:s + self.page_size],
-                            (p, 0, 0, 0),
-                        )
-                        c.v_scales = jax.lax.dynamic_update_slice(
-                            c.v_scales, vs[:, :, :, s:s + self.page_size],
-                            (p, 0, 0, 0),
-                        )
-                c.lengths = c.lengths.at[req.slot].set(n)
-            tok = self._sample(np.asarray(logits[j, n - 1]), req)
+            page_map[j, :nblocks] = req.pages[:nblocks]
+            self._lengths[req.slot] = n
+        self.caches = _scatter_prefill(
+            self.caches, new_caches, jnp.asarray(page_map),
+            jnp.asarray(self._lengths),
+        )
+        self._sync_caches()
+        for j, req in enumerate(reqs):
+            tok = self._sample(np.asarray(logits[j, lens[j] - 1]), req)
             req.output.append(tok)
             self._last_tokens[req.slot] = tok
 
@@ -243,12 +289,16 @@ class InferenceEngine:
             need = (len(r.prompt) + len(r.output)) // self.page_size + 1
             while len(r.pages) < min(need, self.max_pages_per_seq):
                 self._alloc_page(r)
+        self._sync_caches()
         if self._decode_fn is None:
             self._decode_fn = self._build_decode()
         logits, new_caches = self._decode_fn(
             self.params, jnp.asarray(self._last_tokens), self.caches
         )
         self.caches = new_caches
+        for r in active:
+            # mirror the in-model append_paged_kv length increment
+            self._lengths[r.slot] += 1
         logits_np = np.asarray(logits)
         for r in active:
             tok = self._sample(logits_np[r.slot], r)
