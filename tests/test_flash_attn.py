@@ -308,3 +308,136 @@ def test_flash_attn_dropout(causal):
     check_contract(dq, dq_ref, dq_lp, "dq")
     check_contract(dk, dk_ref, dk_lp, "dk")
     check_contract(dv, dv_ref, dv_lp, "dv")
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_flash_attn_varlen_decoupled(causal):
+    """Varlen with DIFFERENT q/k packings (cu_seqlens_q != cu_seqlens_k):
+    per-sequence bottom-right-aligned causal, ≙ reference BlockInfo
+    (csrc/flash_attn/src/block_info.h) and flash_attn_interface.py:454."""
+    h, d = 2, 64
+    dtype = jnp.bfloat16
+    lens_q = [37, 100, 19]
+    lens_k = [64, 80, 150]  # mix of lk > lq and lk < lq
+    cu_q = jnp.asarray(np.cumsum([0] + lens_q), jnp.int32)
+    cu_k = jnp.asarray(np.cumsum([0] + lens_k), jnp.int32)
+    keys = jax.random.split(jax.random.PRNGKey(7), 3)
+    q = _rand(keys[0], (sum(lens_q), h, d), dtype)
+    k = _rand(keys[1], (sum(lens_k), h, d), dtype)
+    v = _rand(keys[2], (sum(lens_k), h, d), dtype)
+    out = flash_attn_varlen_func(
+        q, k, v, cu_q, cu_k, max(lens_q), max(lens_k), causal=causal
+    )
+    for i in range(len(lens_q)):
+        q0, q1 = int(cu_q[i]), int(cu_q[i + 1])
+        k0, k1 = int(cu_k[i]), int(cu_k[i + 1])
+        ref, _ = attention_ref(
+            q[None, q0:q1], k[None, k0:k1], v[None, k0:k1],
+            causal=causal, upcast=True,
+        )
+        lp, _ = attention_ref(
+            q[None, q0:q1], k[None, k0:k1], v[None, k0:k1],
+            causal=causal, upcast=False, reorder_ops=True,
+        )
+        check_contract(out[q0:q1], ref[0], lp[0], f"seq{i}")
+
+
+def test_flash_attn_varlen_window():
+    """Varlen + sliding window: the window must act on per-sequence local
+    indices, not packed global offsets."""
+    h, d = 2, 64
+    dtype = jnp.bfloat16
+    lens = [100, 170, 50]
+    cu = jnp.asarray(np.cumsum([0] + lens), jnp.int32)
+    keys = jax.random.split(jax.random.PRNGKey(8), 3)
+    q = _rand(keys[0], (sum(lens), h, d), dtype)
+    k = _rand(keys[1], (sum(lens), h, d), dtype)
+    v = _rand(keys[2], (sum(lens), h, d), dtype)
+    win = (31, 0)
+    out = flash_attn_varlen_func(
+        q, k, v, cu, cu, max(lens), max(lens), causal=True, window_size=win
+    )
+    for i, (s0, s1) in enumerate(zip(cu[:-1], cu[1:])):
+        s0, s1 = int(s0), int(s1)
+        ref, _ = attention_ref(
+            q[None, s0:s1], k[None, s0:s1], v[None, s0:s1],
+            causal=True, window_size=win, upcast=True,
+        )
+        lp, _ = attention_ref(
+            q[None, s0:s1], k[None, s0:s1], v[None, s0:s1],
+            causal=True, window_size=win, upcast=False, reorder_ops=True,
+        )
+        check_contract(out[s0:s1], ref[0], lp[0], f"seq{i}")
+
+
+@pytest.mark.parametrize("causal", [False, True])
+@pytest.mark.parametrize("d", [32, 64])
+def test_flash_attn_bwd_varlen_overflow(d, causal):
+    """≙ reference test_flash_attn_bwd_varlen_overflow
+    (tests/test_flash_attn.py:934): sequences whose keys are much shorter
+    than their queries (down to a single key) must not produce NaN in any
+    gradient — the regression the reference guards is unmasked elements
+    beyond seqlen_k poisoning dQ."""
+    nheads = 5
+    cu_q = jnp.asarray([0, 76, 110, 256], jnp.int32)
+    cu_k = jnp.asarray([0, 1, 2, 3], jnp.int32)
+    keys = jax.random.split(jax.random.PRNGKey(9), 4)
+    q = _rand(keys[0], (256, nheads, d), jnp.bfloat16) * 3
+    k = _rand(keys[1], (3, nheads, d), jnp.bfloat16) * 3
+    v = _rand(keys[2], (3, nheads, d), jnp.bfloat16) * 3
+
+    def f(q, k, v):
+        return flash_attn_varlen_func(
+            q, k, v, cu_q, cu_k, 256, 3, causal=causal
+        ).astype(jnp.float32)
+
+    out, vjp = jax.vjp(f, q, k, v)
+    do = _rand(keys[3], out.shape, jnp.float32)
+    dq, dk, dv = vjp(do)
+    assert not bool(jnp.isnan(out).any())
+    assert not bool(jnp.isnan(dq).any())
+    assert not bool(jnp.isnan(dk).any())
+    assert not bool(jnp.isnan(dv).any())
+
+
+@pytest.mark.parametrize("bias_kind", ["2d", "per_head"])
+def test_flash_attn_bias_gqa(bias_kind):
+    """Bias gradients under GQA: exercises the dKV kernel's in-kernel group
+    accumulation (grid over KV heads) with both a broadcast (1, 1, sq, sk)
+    dbias (group-accumulated in place) and a per-query-head dbias."""
+    b, s, h, hk, d = 2, 256, 4, 2, 64
+    dtype = jnp.bfloat16
+    keys = jax.random.split(jax.random.PRNGKey(11), 5)
+    q = _rand(keys[0], (b, s, h, d), dtype)
+    k = _rand(keys[1], (b, s, hk, d), dtype)
+    v = _rand(keys[2], (b, s, hk, d), dtype)
+    do = _rand(keys[3], (b, s, h, d), dtype)
+    bias_shape = (s, s) if bias_kind == "2d" else (b, h, s, s)
+    bias = _rand(keys[4], bias_shape, jnp.float32)
+
+    from xhy_flash_attention_tpu import flash_attention
+
+    def f(q, k, v, bias):
+        qt, kt, vt = (jnp.swapaxes(x, 1, 2) for x in (q, k, v))
+        return jnp.swapaxes(
+            flash_attention(qt, kt, vt, bias, causal=True), 1, 2
+        )
+
+    out, vjp = jax.vjp(f, q, k, v, bias)
+    dq, dk, dv, dbias = vjp(do)
+    ref_f = lambda q, k, v, bias: attention_ref(
+        q, k, v, attn_bias=bias, causal=True, upcast=True
+    )[0]
+    out_ref, vjp_ref = jax.vjp(ref_f, q, k, v, bias)
+    dq_ref, dk_ref, dv_ref, dbias_ref = vjp_ref(do)
+    lp_f = lambda q, k, v, bias: attention_ref(
+        q, k, v, attn_bias=bias, causal=True, upcast=False, reorder_ops=True
+    )[0]
+    out_lp, vjp_lp = jax.vjp(lp_f, q, k, v, bias)
+    dq_lp, dk_lp, dv_lp, dbias_lp = vjp_lp(do)
+    check_contract(out, out_ref, out_lp, "out")
+    check_contract(dq, dq_ref, dq_lp, "dq")
+    check_contract(dk, dk_ref, dk_lp, "dk")
+    check_contract(dv, dv_ref, dv_lp, "dv")
+    check_contract(dbias.reshape(dbias_ref.shape), dbias_ref, dbias_lp,
+                   "dbias")

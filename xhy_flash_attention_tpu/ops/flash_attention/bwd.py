@@ -59,6 +59,7 @@ def _recompute_p_ds(
     sm_scale, softcap, dropout_p, rng_block,
     q_start, c_start, seqlen_k, has_right, has_left, window, offset,
     apply_position_mask, fm_mode=None, fmv=None, qpos=None, kpos=None,
+    pos_window=(-1, -1),
 ):
     """Shared recompute: returns (p_dropped, ds, ds_raw, q_scaled).
 
@@ -92,9 +93,14 @@ def _recompute_p_ds(
                 mask, jnp.logical_not(fm_banned(fm_mode, fmv, rows))
             )
         if qpos is not None:
-            mask = jnp.logical_and(mask, kpos <= qpos)
+            if pos_window[1] >= 0:
+                mask = jnp.logical_and(mask, kpos <= qpos + pos_window[1])
+            if pos_window[0] >= 0:
+                mask = jnp.logical_and(mask, kpos >= qpos - pos_window[0])
         s = jnp.where(mask, s, NEG_INF)
-    if qseg is not None:
+    if qseg is not None and apply_position_mask:
+        # single-matching-segment block pairs take the fast branch (the
+        # segment-stats bypass guarantees no cross-segment pair there)
         s = jnp.where(qseg == kseg, s, NEG_INF)  # (bq,1) vs (1,bk)
 
     p = jnp.exp(s - lse)  # lse (bq,1); +inf on empty rows -> p=0
@@ -135,14 +141,18 @@ def _bwd_dkv_kernel(refs, *, params):
     if has_positions:
         qpstats_ref = next(it)
         kpstats_ref = next(it)
+    has_segments = params["has_segments"]
+    if has_segments:
+        qsst_ref = next(it)
+        ksst_ref = next(it)
     if params.get("has_eff", False):
         next(it)  # effective-fetch DMA table: used by index maps only
     q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref = (
         next(it), next(it), next(it), next(it), next(it), next(it),
     )
     bias_ref = next(it) if params["has_bias"] else None
-    qseg_ref = next(it) if params["has_segments"] else None
-    kseg_ref = next(it) if params["has_segments"] else None
+    qseg_ref = next(it) if has_segments else None
+    kseg_ref = next(it) if has_segments else None
     fm_ref = next(it) if fm_mode is not None else None
     qpos_ref = next(it) if has_positions else None
     kpos_ref = next(it) if has_positions else None
@@ -153,15 +163,35 @@ def _bwd_dkv_kernel(refs, *, params):
     dv_scr = next(it)
 
     b_idx, h_idx = pl.program_id(0), pl.program_id(1)
-    ikv, iq = pl.program_id(2), pl.program_id(3)
+    ikv, j_inner = pl.program_id(2), pl.program_id(3)
     bq, bk = params["block_q"], params["block_k"]
     sq, sk = params["seqlen_q"], params["seqlen_k"]
     offset = params["offset"]
     window = params["window"]
     has_right, has_left = params["has_right"], params["has_left"]
     nq = params["num_q_blocks"]
+    g = params.get("group", 1)
+    # GQA: the grid head axis is the KV head; the inner sequential axis
+    # iterates (group member, q block) so dK/dV accumulate over the whole
+    # group in VMEM — one (b, hk, sk, d) write instead of g fp32
+    # per-q-head workspaces + an external reduction (≙ the reference's
+    # in-CTA group loop, flash_bwd_kernel.h:427).
+    if g > 1:
+        # group member is the FASTEST-moving index: consecutive steps share
+        # the same q-block only through different heads, so a
+        # head-broadcast dbias block stays resident while the group
+        # accumulates into it
+        gi = j_inner % g
+        iq = j_inner // g
+        qh_idx = h_idx * g + gi
+    else:
+        gi = 0
+        iq = j_inner
+        qh_idx = h_idx
+    num_heads = params.get("num_heads", pl.num_programs(1))
+    dbias_group_acc = params.get("dbias_group_acc", False)
 
-    @pl.when(iq == 0)
+    @pl.when(j_inner == 0)
     def _init():
         dk_scr[...] = jnp.zeros_like(dk_scr)
         dv_scr[...] = jnp.zeros_like(dv_scr)
@@ -194,7 +224,7 @@ def _bwd_dkv_kernel(refs, *, params):
 
     if fm_mode is not None:
         fm_heads = params["fm_heads"]
-        hm_idx = h_idx // (pl.num_programs(1) // fm_heads) if fm_heads > 1 else 0
+        hm_idx = qh_idx // (num_heads // fm_heads) if fm_heads > 1 else 0
         fm_nv = FM_NV[fm_mode]
         nkv_fm = params["num_kv_blocks"]
         base = ((b_idx * fm_heads + hm_idx) * nkv_fm + ikv) * (fm_nv * 2)
@@ -207,18 +237,42 @@ def _bwd_dkv_kernel(refs, *, params):
 
     if has_blockmask:
         bm_heads = params["bm_heads"]
-        bm_idx = h_idx // (pl.num_programs(1) // bm_heads) if bm_heads > 1 else 0
+        bm_idx = qh_idx // (num_heads // bm_heads) if bm_heads > 1 else 0
         bbase = ((b_idx * bm_heads + bm_idx) * params["num_q_blocks"] + iq) \
             * params["num_kv_blocks"]
         should_run = jnp.logical_and(should_run, bm_ref[bbase + ikv] != 0)
 
     if has_positions:
+        pw = params.get("pos_window", (-1, -1))
         q_lo = qpstats_ref[(b_idx * params["num_q_blocks"] + iq) * 2]
         q_hi = qpstats_ref[(b_idx * params["num_q_blocks"] + iq) * 2 + 1]
         k_lo = kpstats_ref[(b_idx * params["num_kv_blocks"] + ikv) * 2]
         k_hi = kpstats_ref[(b_idx * params["num_kv_blocks"] + ikv) * 2 + 1]
-        should_run = jnp.logical_and(should_run, k_lo <= q_hi)
-        fully_unmasked = jnp.logical_and(fully_unmasked, k_hi <= q_lo)
+        if pw[1] >= 0:
+            should_run = jnp.logical_and(should_run, k_lo <= q_hi + pw[1])
+            fully_unmasked = jnp.logical_and(
+                fully_unmasked, k_hi <= q_lo + pw[1]
+            )
+        if pw[0] >= 0:
+            should_run = jnp.logical_and(should_run, k_hi >= q_lo - pw[0])
+            fully_unmasked = jnp.logical_and(
+                fully_unmasked, k_lo >= q_hi - pw[0]
+            )
+
+    if has_segments:
+        q_mn = qsst_ref[(b_idx * params["num_q_blocks"] + iq) * 2]
+        q_mx = qsst_ref[(b_idx * params["num_q_blocks"] + iq) * 2 + 1]
+        k_mn = ksst_ref[(b_idx * params["num_kv_blocks"] + ikv) * 2]
+        k_mx = ksst_ref[(b_idx * params["num_kv_blocks"] + ikv) * 2 + 1]
+        should_run = jnp.logical_and(
+            should_run, jnp.logical_and(q_mn <= k_mx, k_mn <= q_mx)
+        )
+        fully_unmasked = jnp.logical_and(
+            fully_unmasked,
+            jnp.logical_and(
+                jnp.logical_and(q_mn == q_mx, k_mn == k_mx), q_mn == k_mn
+            ),
+        )
 
     def body(apply_position_mask):
         q = q_ref[0, 0]
@@ -229,7 +283,7 @@ def _bwd_dkv_kernel(refs, *, params):
         if params["dropout_p"] > 0.0:
             rng_block = (
                 seed_ref[0],
-                b_idx * pl.num_programs(1) + h_idx,
+                b_idx * num_heads + qh_idx,
             )
         p_dropped, ds, ds_raw, q_scaled = _recompute_p_ds(
             q, k_ref[0, 0], v_ref[0, 0], do, lse, delta,
@@ -245,9 +299,13 @@ def _bwd_dkv_kernel(refs, *, params):
             fmv=fm_ref[0, 0] if fm_ref is not None else None,
             qpos=qpos_ref[0] if (has_positions and apply_position_mask) else None,
             kpos=kpos_ref[0] if (has_positions and apply_position_mask) else None,
+            pos_window=params.get("pos_window", (-1, -1)),
         )
         if dbias_ref is not None:
-            dbias_ref[0, 0] = ds_raw
+            if dbias_group_acc:
+                dbias_ref[0, 0] += ds_raw  # zeroed at gi == 0 below
+            else:
+                dbias_ref[0, 0] = ds_raw
         dtype = q.dtype
         # dV += P_dropped^T @ dO   (contract over q rows)
         dv_scr[...] += jax.lax.dot_general(
@@ -260,12 +318,21 @@ def _bwd_dkv_kernel(refs, *, params):
             (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
         )
 
+    if params["has_bias"] and dbias_group_acc:
+        # head-broadcast bias: the (b, hk, q, kv) dbias block stays
+        # resident across the g consecutive group steps and accumulates
+        # in place (no g per-head fp32 workspace). Zero it before the
+        # first member's += (also covers skipped blocks).
+        @pl.when(gi == 0)
+        def _zero_dbias_acc():
+            dbias_ref[0, 0] = jnp.zeros_like(dbias_ref[0, 0])
+
     # Masking rows beyond seqlen_q matters here (their p/ds must be 0), so
     # fold the q-bounds check into the boundary branch.
     needs_branch = (
         has_right or has_left
         or (sk % bk != 0) or (sq % bq != 0)
-        or fm_mode is not None or has_positions
+        or fm_mode is not None or has_positions or has_segments
     )
     if needs_branch:
         @pl.when(jnp.logical_and(should_run, fully_unmasked))
@@ -280,13 +347,13 @@ def _bwd_dkv_kernel(refs, *, params):
         def _run():
             body(False)
 
-    if params["has_bias"]:
+    if params["has_bias"] and not dbias_group_acc:
         # dbias blocks for skipped (q, kv) pairs must still be zeroed.
         @pl.when(jnp.logical_not(should_run))
         def _zero_dbias():
             dbias_ref[0, 0] = jnp.zeros_like(dbias_ref[0, 0])
 
-    @pl.when(iq == nq - 1)
+    @pl.when(j_inner == g * nq - 1)
     def _finish():
         dk_ref[0, 0] = dk_scr[...]
         dv_ref[0, 0] = dv_scr[...]
@@ -306,14 +373,18 @@ def _bwd_dq_kernel(refs, *, params):
     if has_positions:
         qpstats_ref = next(it)
         kpstats_ref = next(it)
+    has_segments = params["has_segments"]
+    if has_segments:
+        qsst_ref = next(it)
+        ksst_ref = next(it)
     if params.get("has_eff", False):
         next(it)  # effective-fetch DMA table: used by index maps only
     q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref = (
         next(it), next(it), next(it), next(it), next(it), next(it),
     )
     bias_ref = next(it) if params["has_bias"] else None
-    qseg_ref = next(it) if params["has_segments"] else None
-    kseg_ref = next(it) if params["has_segments"] else None
+    qseg_ref = next(it) if has_segments else None
+    kseg_ref = next(it) if has_segments else None
     fm_ref = next(it) if fm_mode is not None else None
     qpos_ref = next(it) if has_positions else None
     kpos_ref = next(it) if has_positions else None
@@ -373,18 +444,42 @@ def _bwd_dq_kernel(refs, *, params):
 
     if has_blockmask:
         bm_heads = params["bm_heads"]
-        bm_idx = h_idx // (pl.num_programs(1) // bm_heads) if bm_heads > 1 else 0
+        bm_idx = qh_idx // (num_heads // bm_heads) if bm_heads > 1 else 0
         bbase = ((b_idx * bm_heads + bm_idx) * params["num_q_blocks"] + iq) \
             * params["num_kv_blocks"]
         should_run = jnp.logical_and(should_run, bm_ref[bbase + ikv] != 0)
 
     if has_positions:
+        pw = params.get("pos_window", (-1, -1))
         q_lo = qpstats_ref[(b_idx * params["num_q_blocks"] + iq) * 2]
         q_hi = qpstats_ref[(b_idx * params["num_q_blocks"] + iq) * 2 + 1]
         k_lo = kpstats_ref[(b_idx * nkv + ikv) * 2]
         k_hi = kpstats_ref[(b_idx * nkv + ikv) * 2 + 1]
-        should_run = jnp.logical_and(should_run, k_lo <= q_hi)
-        fully_unmasked = jnp.logical_and(fully_unmasked, k_hi <= q_lo)
+        if pw[1] >= 0:
+            should_run = jnp.logical_and(should_run, k_lo <= q_hi + pw[1])
+            fully_unmasked = jnp.logical_and(
+                fully_unmasked, k_hi <= q_lo + pw[1]
+            )
+        if pw[0] >= 0:
+            should_run = jnp.logical_and(should_run, k_hi >= q_lo - pw[0])
+            fully_unmasked = jnp.logical_and(
+                fully_unmasked, k_lo >= q_hi - pw[0]
+            )
+
+    if has_segments:
+        q_mn = qsst_ref[(b_idx * params["num_q_blocks"] + iq) * 2]
+        q_mx = qsst_ref[(b_idx * params["num_q_blocks"] + iq) * 2 + 1]
+        k_mn = ksst_ref[(b_idx * nkv + ikv) * 2]
+        k_mx = ksst_ref[(b_idx * nkv + ikv) * 2 + 1]
+        should_run = jnp.logical_and(
+            should_run, jnp.logical_and(q_mn <= k_mx, k_mn <= q_mx)
+        )
+        fully_unmasked = jnp.logical_and(
+            fully_unmasked,
+            jnp.logical_and(
+                jnp.logical_and(q_mn == q_mx, k_mn == k_mx), q_mn == k_mn
+            ),
+        )
 
     def body(apply_position_mask):
         q = q_ref[0, 0]
@@ -409,6 +504,7 @@ def _bwd_dq_kernel(refs, *, params):
             fmv=fm_ref[0, 0] if fm_ref is not None else None,
             qpos=qpos_ref[0] if (has_positions and apply_position_mask) else None,
             kpos=kpos_ref[0] if (has_positions and apply_position_mask) else None,
+            pos_window=params.get("pos_window", (-1, -1)),
         )
         # dQ += dS @ K (the sm_scale factor is applied once in _finish)
         dq_scr[...] += jax.lax.dot_general(
@@ -418,7 +514,7 @@ def _bwd_dq_kernel(refs, *, params):
 
     needs_branch = (
         has_right or has_left or (sk % bk != 0) or fm_mode is not None
-        or has_positions
+        or has_positions or has_segments
     )
     if needs_branch:
         @pl.when(jnp.logical_and(should_run, fully_unmasked))
@@ -469,6 +565,12 @@ def flash_attention_bwd(
     """
     if causal:
         window_size = (window_size[0], 0)
+    # With positions, causal/window bounds apply to the POSITION values and
+    # the global row/col window machinery is disabled (see fwd.py).
+    pos_window = (-1, -1)
+    if q_positions is not None:
+        pos_window = window_size
+        window_size = (-1, -1)
     b, h, sq, d = q.shape
     _, hk, sk, _ = k.shape
     g = h // hk
@@ -498,8 +600,17 @@ def flash_attention_bwd(
 
     interp = interpret_mode() if interpret is None else interpret
 
-    def make_common(bq, bk, nq, nkv, kv_index, q_index):
-        """in_specs + inputs shared by both kernels."""
+    def make_common(bq, bk, nq, nkv, kv_index, q_index,
+                    qh_map=None, kh_map=None):
+        """in_specs + inputs shared by both kernels.
+
+        qh_map(b_, h_, i, j, *refs) -> query-head index and kh_map(h_) ->
+        kv-head index let the dKV kernel run its grid over KV heads with
+        the group member folded into the inner axis."""
+        if qh_map is None:
+            qh_map = lambda b_, h_, i, j, *r: h_
+        if kh_map is None:
+            kh_map = lambda h_: h_ // g
         qp = pad_to_block(q, 2, bq)
         kp = pad_to_block(k, 2, bk)
         vp = pad_to_block(v, 2, bk)
@@ -513,12 +624,12 @@ def flash_attention_bwd(
         )
         inputs = [qp, kp, vp, dop, lsep, deltap]
         specs = [
-            pl.BlockSpec((1, 1, bq, d), lambda b_, h_, i, j, *r: (b_, h_, q_index(b_, h_, i, j, *r), 0)),
-            pl.BlockSpec((1, 1, bk, d), lambda b_, h_, i, j, *r: (b_, h_ // g, kv_index(b_, h_, i, j, *r), 0)),
-            pl.BlockSpec((1, 1, bk, d), lambda b_, h_, i, j, *r: (b_, h_ // g, kv_index(b_, h_, i, j, *r), 0)),
-            pl.BlockSpec((1, 1, bq, d), lambda b_, h_, i, j, *r: (b_, h_, q_index(b_, h_, i, j, *r), 0)),
-            pl.BlockSpec((1, 1, bq, 8), lambda b_, h_, i, j, *r: (b_, h_, q_index(b_, h_, i, j, *r), 0)),
-            pl.BlockSpec((1, 1, bq, 8), lambda b_, h_, i, j, *r: (b_, h_, q_index(b_, h_, i, j, *r), 0)),
+            pl.BlockSpec((1, 1, bq, d), lambda b_, h_, i, j, *r: (b_, qh_map(b_, h_, i, j, *r), q_index(b_, h_, i, j, *r), 0)),
+            pl.BlockSpec((1, 1, bk, d), lambda b_, h_, i, j, *r: (b_, kh_map(h_), kv_index(b_, h_, i, j, *r), 0)),
+            pl.BlockSpec((1, 1, bk, d), lambda b_, h_, i, j, *r: (b_, kh_map(h_), kv_index(b_, h_, i, j, *r), 0)),
+            pl.BlockSpec((1, 1, bq, d), lambda b_, h_, i, j, *r: (b_, qh_map(b_, h_, i, j, *r), q_index(b_, h_, i, j, *r), 0)),
+            pl.BlockSpec((1, 1, bq, 8), lambda b_, h_, i, j, *r: (b_, qh_map(b_, h_, i, j, *r), q_index(b_, h_, i, j, *r), 0)),
+            pl.BlockSpec((1, 1, bq, 8), lambda b_, h_, i, j, *r: (b_, qh_map(b_, h_, i, j, *r), q_index(b_, h_, i, j, *r), 0)),
         ]
         if has_bias:
             bp = pad_to_block(pad_to_block(bias, 3, bk), 2, bq)
@@ -527,7 +638,8 @@ def flash_attention_bwd(
                 pl.BlockSpec(
                     (1, 1, bq, bk),
                     lambda b_, h_, i, j, *r, bb=bb, bh=bh: (
-                        b_ if bb > 1 else 0, h_ if bh > 1 else 0,
+                        b_ if bb > 1 else 0,
+                        qh_map(b_, h_, i, j, *r) if bh > 1 else 0,
                         q_index(b_, h_, i, j, *r),
                         kv_index(b_, h_, i, j, *r),
                     ),
@@ -554,7 +666,10 @@ def flash_attention_bwd(
             fm_g = h // fm_heads
             specs.append(pl.BlockSpec(
                 (1, 1, nv, bk),
-                lambda b_, h_, i, j, *r: (b_, h_ // fm_g, 0, kv_index(b_, h_, i, j, *r)),
+                lambda b_, h_, i, j, *r: (
+                    b_, qh_map(b_, h_, i, j, *r) // fm_g, 0,
+                    kv_index(b_, h_, i, j, *r),
+                ),
             ))
             inputs.append(fmp)
         if has_positions:
@@ -582,6 +697,8 @@ def flash_attention_bwd(
         num_prefetch += 1
     if has_positions:
         num_prefetch += 2
+    if has_segments:
+        num_prefetch += 2
 
     def pos_prefetch(bq, bk):
         if not has_positions:
@@ -591,6 +708,14 @@ def flash_attention_bwd(
         _, qst = pos_pad_and_stats(q_positions, bq)
         _, kst = pos_pad_and_stats(kv_positions, bk)
         return [qst, kst]
+
+    def seg_prefetch(bq, bk):
+        if not has_segments:
+            return []
+        from .common import seg_block_stats
+
+        return [seg_block_stats(q_segment_ids, bq),
+                seg_block_stats(kv_segment_ids, bk)]
 
     def fm_prefetch(bk):
         if not has_flashmask:
@@ -609,13 +734,13 @@ def flash_attention_bwd(
     # effective-KV table. Disabled with bias (dbias write pattern) and with
     # mismatched mask-head counts.
     use_eff = (
-        (has_flashmask or has_blockmask) and not has_bias
-        and not has_positions
+        (has_flashmask or has_blockmask or has_segments or has_positions)
+        and not has_bias
         and not (has_flashmask and has_blockmask and fm_heads != bm_heads)
     )
     if use_eff:
         num_prefetch += 1
-    eff_ho = fm_heads if has_flashmask else bm_heads
+    eff_ho = fm_heads if has_flashmask else (bm_heads if has_blockmask else 1)
 
     def visibility(bq, bk, nq, nkv):
         from .common import fm_skip_bypass as _fsb
@@ -652,6 +777,35 @@ def flash_attention_bwd(
                 bmask, gq, gk, bq, bk, nq, nkv, b
             ).reshape(b, bm_heads, nq, nkv)
             vis = jnp.logical_and(vis, bm_full != 0)
+        if has_segments:
+            from .common import seg_block_stats
+
+            qst2 = seg_block_stats(q_segment_ids, bq).reshape(b, nq, 2)
+            kst2 = seg_block_stats(kv_segment_ids, bk).reshape(b, nkv, 2)
+            seg_vis = jnp.logical_and(
+                qst2[:, :, None, 0] <= kst2[:, None, :, 1],
+                kst2[:, None, :, 0] <= qst2[:, :, None, 1],
+            )
+            vis = jnp.logical_and(vis, seg_vis[:, None])
+        if has_positions:
+            from .common import pos_pad_and_stats
+
+            _, qpst = pos_pad_and_stats(q_positions, bq)
+            _, kpst = pos_pad_and_stats(kv_positions, bk)
+            qpst2 = qpst.reshape(b, nq, 2)
+            kpst2 = kpst.reshape(b, nkv, 2)
+            if pos_window[1] >= 0:
+                vis = jnp.logical_and(
+                    vis,
+                    (kpst2[:, None, :, 0]
+                     <= qpst2[:, :, None, 1] + pos_window[1])[:, None],
+                )
+            if pos_window[0] >= 0:
+                vis = jnp.logical_and(
+                    vis,
+                    (kpst2[:, None, :, 1]
+                     >= qpst2[:, :, None, 0] - pos_window[0])[:, None],
+                )
         return vis
 
     def eff_index_fn(n_outer, n_inner):
@@ -672,9 +826,15 @@ def flash_attention_bwd(
     bk1 = min(bk1, round_up(sk, 128))
     nq1, nkv1 = -(-round_up(sq, bq1) // bq1), -(-round_up(sk, bk1) // bk1)
 
-    def q_index_dkv(b_, h_, ikv, iq, *refs):
+    dbias_group_acc = has_bias and g > 1 and bias.shape[1] == 1
+
+    def _iq_of(j):
+        return j // g if g > 1 else j
+
+    def q_index_dkv(b_, h_, ikv, j, *refs):
         # clamp skipped q blocks onto the resident block to kill dead DMAs;
         # with a dbias output every (q, kv) block must be visited unclamped.
+        iq = _iq_of(j)
         if has_bias:
             return iq
         if has_right:
@@ -685,6 +845,11 @@ def flash_attention_bwd(
             iq = jnp.minimum(iq, jnp.maximum(hi, 0))
         return jnp.clip(iq, 0, nq1 - 1)
 
+    def qh_map_dkv(b_, h_, ikv, j, *refs):
+        # grid head axis = KV head; group member is the fastest-moving
+        # index of the inner axis
+        return h_ * g + j % g if g > 1 else h_
+
     eff1 = []
     if use_eff:
         from .common import effective_kv_table
@@ -693,12 +858,18 @@ def flash_attention_bwd(
         eff1 = [effective_kv_table(
             jnp.swapaxes(visibility(bq1, bk1, nq1, nkv1), 2, 3)
         )]
-        q_index_dkv = eff_index_fn(nkv1, nq1)
+        _eff_raw = eff_index_fn(nkv1, nq1)
+
+        def q_index_dkv(b_, h_, ikv, j, *refs):
+            return _eff_raw(b_, qh_map_dkv(b_, h_, ikv, j, *refs),
+                            ikv, _iq_of(j), *refs)
     inputs1, specs1, sqp1, skp1 = make_common(
         bq1, bk1, nq1, nkv1,
-        kv_index=lambda b_, h_, ikv, iq, *r: ikv, q_index=q_index_dkv,
+        kv_index=lambda b_, h_, ikv, j, *r: ikv, q_index=q_index_dkv,
+        qh_map=qh_map_dkv, kh_map=lambda h_: h_,
     )
     params1 = dict(
+        group=g, num_heads=h, dbias_group_acc=dbias_group_acc,
         sm_scale=sm_scale, softcap=softcap, dropout_p=dropout_p,
         has_bias=has_bias, has_segments=has_segments,
         has_right=has_right, has_left=has_left, window=window_size,
@@ -710,29 +881,44 @@ def flash_attention_bwd(
         bm_heads=bm_heads,
         has_positions=has_positions,
         has_eff=use_eff,
+        pos_window=pos_window,
     )
     out_specs1 = [
-        pl.BlockSpec((1, 1, bk1, d), lambda b_, h_, ikv, iq, *_: (b_, h_, ikv, 0)),
-        pl.BlockSpec((1, 1, bk1, d), lambda b_, h_, ikv, iq, *_: (b_, h_, ikv, 0)),
+        pl.BlockSpec((1, 1, bk1, d), lambda b_, h_, ikv, j, *_: (b_, h_, ikv, 0)),
+        pl.BlockSpec((1, 1, bk1, d), lambda b_, h_, ikv, j, *_: (b_, h_, ikv, 0)),
     ]
     out_shapes1 = [
-        jax.ShapeDtypeStruct((b, h, skp1, d), jnp.float32),
-        jax.ShapeDtypeStruct((b, h, skp1, d), jnp.float32),
+        jax.ShapeDtypeStruct((b, hk, skp1, d), jnp.float32),
+        jax.ShapeDtypeStruct((b, hk, skp1, d), jnp.float32),
     ]
     if has_bias:
-        out_specs1.append(
-            pl.BlockSpec(
-                (1, 1, bq1, bk1), lambda b_, h_, ikv, iq, *_: (b_, h_, iq, ikv)
+        if dbias_group_acc:
+            out_specs1.append(
+                pl.BlockSpec(
+                    (1, 1, bq1, bk1),
+                    lambda b_, h_, ikv, j, *r: (b_, h_, _iq_of(j), ikv),
+                )
             )
-        )
-        out_shapes1.append(
-            jax.ShapeDtypeStruct((b, h, sqp1, skp1), jnp.float32)
-        )
+            out_shapes1.append(
+                jax.ShapeDtypeStruct((b, hk, sqp1, skp1), jnp.float32)
+            )
+        else:
+            out_specs1.append(
+                pl.BlockSpec(
+                    (1, 1, bq1, bk1),
+                    lambda b_, h_, ikv, j, *r: (
+                        b_, qh_map_dkv(b_, h_, ikv, j, *r), _iq_of(j), ikv
+                    ),
+                )
+            )
+            out_shapes1.append(
+                jax.ShapeDtypeStruct((b, h, sqp1, skp1), jnp.float32)
+            )
     results1 = pl.pallas_call(
         functools.partial(_bwd_dkv_entry, params=params1),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=num_prefetch,
-            grid=(b, h, nkv1, nq1),
+            grid=(b, hk, nkv1, nq1 * g),
             in_specs=specs1,
             out_specs=out_specs1,
             scratch_shapes=[
@@ -746,27 +932,22 @@ def flash_attention_bwd(
         ),
         interpret=interp,
     )(*seed_input, *fm_prefetch(bk1), *bm_prefetch(bq1, bk1, nq1, nkv1),
-      *pos_prefetch(bq1, bk1), *eff1, *inputs1)
+      *pos_prefetch(bq1, bk1), *seg_prefetch(bq1, bk1), *eff1, *inputs1)
     dk_ph, dv_ph = results1[0], results1[1]
     dbias = None
     if has_bias:
         dbias_full = results1[2][:, :, :sq, :sk]
         # reduce over broadcast batch/head dims of the original bias
+        # (group-accumulated outputs already folded the per-KV-head group)
         bb, bh = bias.shape[0], bias.shape[1]
         if bb == 1:
             dbias_full = jnp.sum(dbias_full, axis=0, keepdims=True)
         if bh == 1:
             dbias_full = jnp.sum(dbias_full, axis=1, keepdims=True)
         dbias = dbias_full.astype(bias.dtype)
-    dk_ph = dk_ph[:, :, :sk]
-    dv_ph = dv_ph[:, :, :sk]
-    if g > 1:
-        dk = jnp.sum(dk_ph.reshape(b, hk, g, sk, d), axis=2)
-        dv = jnp.sum(dv_ph.reshape(b, hk, g, sk, d), axis=2)
-    else:
-        dk, dv = dk_ph, dv_ph
-    dk = dk.astype(k.dtype)
-    dv = dv.astype(v.dtype)
+    # dK/dV come out already group-accumulated at (b, hk, sk, d)
+    dk = dk_ph[:, :, :sk].astype(k.dtype)
+    dv = dv_ph[:, :, :sk].astype(v.dtype)
 
     # ---- dQ kernel: grid (b, h, q-block, kv-block) ----
     bq2, bk2 = block_sizes.block_q_dq, block_sizes.block_k_dq
@@ -815,7 +996,7 @@ def flash_attention_bwd(
         ),
         interpret=interp,
     )(*seed_input, *fm_prefetch(bk2), *bm_prefetch(bq2, bk2, nq2, nkv2),
-      *pos_prefetch(bq2, bk2), *eff2, *inputs2)
+      *pos_prefetch(bq2, bk2), *seg_prefetch(bq2, bk2), *eff2, *inputs2)
     dq = dq[:, :, :sq]
     return dq, dk, dv, dbias
 

@@ -259,6 +259,28 @@ def pos_pad_and_stats(positions: jax.Array, block: int):
     return p, stats.reshape(-1).astype(jnp.int32)
 
 
+def seg_block_stats(segment_ids: jax.Array, block: int) -> jax.Array:
+    """Per-block [min, max] of (b, s) int32 segment ids, flattened int32 for
+    scalar prefetch.
+
+    Two blocks can hold a matching pair only if their id ranges overlap, so
+    the kernels use these to skip (and DMA-skip) block pairs entirely —
+    the per-sequence KV-range bound of the reference's varlen BlockInfo
+    (csrc/flash_attn/src/block_info.h) expressed as block stats. The ranges
+    are exact for monotone packed-varlen ids and conservative (correct) for
+    arbitrary ids. Padding replicates the edge value so tail blocks stay
+    tight.
+    """
+    s = jnp.asarray(segment_ids, jnp.int32)
+    b, n = s.shape
+    np_ = round_up(n, block)
+    if np_ != n:
+        s = jnp.pad(s, ((0, 0), (0, np_ - n)), mode="edge")
+    r = s.reshape(b, np_ // block, block)
+    stats = jnp.stack([r.min(-1), r.max(-1)], axis=-1)  # (b, nblk, 2)
+    return stats.reshape(-1).astype(jnp.int32)
+
+
 def expand_block_mask(
     mask: jax.Array, gq: int, gk: int, bq: int, bk: int, nq: int, nkv: int,
     batch: int,

@@ -80,6 +80,8 @@ def _fwd_kernel(
     has_positions: bool = False,
     has_eff: bool = False,
     deferred: bool = False,
+    pos_window: Tuple[int, int] = (-1, -1),
+    has_segstats: bool = False,
 ):
     it = iter(refs)
     if dropout_p > 0.0:
@@ -91,6 +93,9 @@ def _fwd_kernel(
     if has_positions:
         qpstats_ref = next(it)
         kpstats_ref = next(it)
+    if has_segstats:
+        qsst_ref = next(it)
+        ksst_ref = next(it)
     if has_eff:
         next(it)  # effective-kv DMA table: consumed by the index maps only
     q_ref = next(it)
@@ -170,16 +175,50 @@ def _fwd_kernel(
         should_run = jnp.logical_and(should_run, bm_ref[bbase + ikv] != 0)
 
     if has_positions:
-        # Global-position causal masking (ring attention / context
-        # parallelism: positions carry the sequence-shard offsets, which are
-        # traced values — unlike the static `offset`). Block-level skip and
+        # Position-window masking (ring attention global positions / varlen
+        # per-sequence positions — traced values the static `offset` can't
+        # express). pos_window carries the causal/sliding bounds ON THE
+        # POSITIONS; the global row/col window machinery is disabled by the
+        # caller when positions are present. Block-level skip and
         # elementwise bypass from scalar-prefetched per-block [min, max].
         q_lo = qpstats_ref[(b_idx * num_q_blocks + iq) * 2]
         q_hi = qpstats_ref[(b_idx * num_q_blocks + iq) * 2 + 1]
         k_lo = kpstats_ref[(b_idx * num_kv_blocks + ikv) * 2]
         k_hi = kpstats_ref[(b_idx * num_kv_blocks + ikv) * 2 + 1]
-        should_run = jnp.logical_and(should_run, k_lo <= q_hi)
-        fully_unmasked = jnp.logical_and(fully_unmasked, k_hi <= q_lo)
+        if pos_window[1] >= 0:
+            should_run = jnp.logical_and(
+                should_run, k_lo <= q_hi + pos_window[1]
+            )
+            fully_unmasked = jnp.logical_and(
+                fully_unmasked, k_hi <= q_lo + pos_window[1]
+            )
+        if pos_window[0] >= 0:
+            should_run = jnp.logical_and(
+                should_run, k_hi >= q_lo - pos_window[0]
+            )
+            fully_unmasked = jnp.logical_and(
+                fully_unmasked, k_lo >= q_hi - pos_window[0]
+            )
+
+    if has_segstats:
+        # Segment-range block skip/bypass (varlen ≙ reference BlockInfo
+        # KV-range bounds): block pairs whose segment-id ranges don't
+        # overlap are skipped; single-matching-segment pairs bypass the
+        # elementwise segment mask.
+        q_mn = qsst_ref[(b_idx * num_q_blocks + iq) * 2]
+        q_mx = qsst_ref[(b_idx * num_q_blocks + iq) * 2 + 1]
+        k_mn = ksst_ref[(b_idx * num_kv_blocks + ikv) * 2]
+        k_mx = ksst_ref[(b_idx * num_kv_blocks + ikv) * 2 + 1]
+        should_run = jnp.logical_and(
+            should_run,
+            jnp.logical_and(q_mn <= k_mx, k_mn <= q_mx),
+        )
+        fully_unmasked = jnp.logical_and(
+            fully_unmasked,
+            jnp.logical_and(
+                jnp.logical_and(q_mn == q_mx, k_mn == k_mx), q_mn == k_mn
+            ),
+        )
 
     def _apply_dropout(p):
         if dropout_p <= 0.0:
@@ -231,9 +270,14 @@ def _fwd_kernel(
             if has_positions:
                 qpos = qpos_ref[0]   # (bq, 1)
                 kpos = kpos_ref[0]   # (1, bk)
-                mask = jnp.logical_and(mask, kpos <= qpos)
+                if pos_window[1] >= 0:
+                    mask = jnp.logical_and(mask, kpos <= qpos + pos_window[1])
+                if pos_window[0] >= 0:
+                    mask = jnp.logical_and(mask, kpos >= qpos - pos_window[0])
             s = jnp.where(mask, s, NEG_INF)
-        if has_segments:
+        if has_segments and apply_position_mask:
+            # single-matching-segment block pairs take the fast branch
+            # (fully_unmasked includes the segment-stats bypass)
             qseg = qseg_ref[0]        # (bq, 1)
             kseg = kseg_ref[0]        # (1, bk)
             s = jnp.where(qseg == kseg, s, NEG_INF)
@@ -299,7 +343,7 @@ def _fwd_kernel(
 
     needs_branch = (
         has_right or has_left or (seqlen_k % block_k != 0)
-        or fm_mode is not None or has_positions
+        or fm_mode is not None or has_positions or has_segstats
     )
 
     def dispatch(cond, masked):
@@ -327,7 +371,7 @@ def _fwd_kernel(
             jnp.logical_and(should_run, jnp.logical_not(fully_unmasked)), True
         )
     else:
-        dispatch(should_run, True if has_segments else False)
+        dispatch(should_run, False)
 
     @pl.when(ikv == num_kv_blocks - 1)
     def _finish():
@@ -378,6 +422,14 @@ def flash_attention_fwd(
     """
     if causal:
         window_size = (window_size[0], 0)
+    # With positions, the causal/window bounds apply to the POSITION values
+    # (ring shard offsets / varlen per-sequence indices) and the global
+    # row/col window machinery is disabled — its static offset arithmetic
+    # is meaningless across packed sequences or rotated shards.
+    pos_window = (-1, -1)
+    if q_positions is not None:
+        pos_window = window_size
+        window_size = (-1, -1)
     b, h, sq, d = q.shape
     _, hk, sk, _ = k.shape
     assert h % hk == 0, (h, hk)
@@ -437,20 +489,38 @@ def flash_attention_fwd(
         kposp, kpstats = pos_pad_and_stats(kv_positions, bk)
         inputs.extend([qpstats, kpstats])
         num_scalar_prefetch += 2
+    has_segments = q_segment_ids is not None
+    if has_segments:
+        from .common import seg_block_stats
 
-    # Data-dependent DMA skipping: with FlashMask / blocksparse masks the
-    # pl.when guards skip compute for fully-masked tiles, but the KV tiles
-    # would still stream from HBM. A trace-time visibility map turns into
-    # an "effective fetch index" table (common.effective_kv_table): skipped
-    # steps repeat the resident block index so Pallas issues no traffic —
-    # runtime then tracks the visible area (SURVEY hard part #2).
-    has_eff = has_flashmask or has_blockmask
+        qsst = seg_block_stats(q_segment_ids, bq)
+        ksst = seg_block_stats(kv_segment_ids, bk)
+        inputs.extend([qsst, ksst])
+        num_scalar_prefetch += 2
+
+    # Data-dependent DMA skipping: with FlashMask / blocksparse / segment /
+    # position masks the pl.when guards skip compute for fully-masked tiles,
+    # but the KV tiles would still stream from HBM. A visibility map turns
+    # into an "effective fetch index" table (common.effective_kv_table):
+    # skipped steps repeat the resident block index so Pallas issues no
+    # traffic — runtime then tracks the visible area (SURVEY hard part #2).
+    # For packed varlen (segments from cu_seqlens) this bounds each q
+    # block's KV loop to its own sequences' blocks: total work is
+    # ~sum(len_i^2), not total^2 (≙ reference BlockInfo, block_info.h).
+    has_eff = (
+        has_flashmask or has_blockmask or has_segments or has_positions
+    )
     if has_flashmask and has_blockmask and fm_heads != bm_heads:
         has_eff = False
     if has_eff:
         from .common import effective_kv_table, fm_skip_bypass as _fsb
 
-        ho = fm_heads if has_flashmask else bm_heads
+        if has_flashmask:
+            ho = fm_heads
+        elif has_blockmask:
+            ho = bm_heads
+        else:
+            ho = 1
         qs_arr = jnp.arange(nq, dtype=jnp.int32) * bq
         ql_arr = jnp.minimum(qs_arr + bq, sq) - 1
         cs_arr = jnp.arange(nkv, dtype=jnp.int32) * bk
@@ -479,6 +549,29 @@ def flash_attention_fwd(
                 bmask, gq, gk, bq, bk, nq, nkv, b
             ).reshape(b, bm_heads, nq, nkv)
             vis = jnp.logical_and(vis, bm_full != 0)
+        if has_segments:
+            qst2 = qsst.reshape(b, nq, 2)
+            kst2 = ksst.reshape(b, nkv, 2)
+            seg_vis = jnp.logical_and(
+                qst2[:, :, None, 0] <= kst2[:, None, :, 1],
+                kst2[:, None, :, 0] <= qst2[:, :, None, 1],
+            )  # (b, nq, nkv)
+            vis = jnp.logical_and(vis, seg_vis[:, None])
+        if has_positions:
+            qpst2 = qpstats.reshape(b, nq, 2)
+            kpst2 = kpstats.reshape(b, nkv, 2)
+            if pos_window[1] >= 0:
+                vis = jnp.logical_and(
+                    vis,
+                    (kpst2[:, None, :, 0]
+                     <= qpst2[:, :, None, 1] + pos_window[1])[:, None],
+                )
+            if pos_window[0] >= 0:
+                vis = jnp.logical_and(
+                    vis,
+                    (kpst2[:, None, :, 1]
+                     >= qpst2[:, :, None, 0] - pos_window[0])[:, None],
+                )
         inputs.append(effective_kv_table(vis))
         num_scalar_prefetch += 1
         hog = h // ho
@@ -521,7 +614,6 @@ def flash_attention_fwd(
             )
         )
         inputs.append(bias)
-    has_segments = q_segment_ids is not None
     if has_segments:
         # 3D layouts keep Mosaic's block rules happy: q segs on sublanes
         # (bq, 1), kv segs on lanes (1, bk).
@@ -598,6 +690,8 @@ def flash_attention_fwd(
         num_q_blocks=nq,
         has_positions=has_positions,
         has_eff=has_eff,
+        pos_window=pos_window,
+        has_segstats=has_segments,
         # Deferred-shift softmax needs every q row to have at least one
         # visible key in the ikv==0 seed block: true for plain/causal/
         # bias/dropout/right-window (offset >= 0) attention, but not once

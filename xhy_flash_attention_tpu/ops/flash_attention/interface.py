@@ -91,29 +91,31 @@ def _make_attention_fn(static: _Static, return_lse: bool):
     )
 
     @jax.custom_vjp
-    def attn(q, k, v, bias, q_seg, kv_seg, seed):
+    def attn(q, k, v, bias, q_seg, kv_seg, qpos, kpos, seed):
         out, lse = flash_attention_fwd(
-            q, k, v, bias, q_seg, kv_seg, dropout_seed=seed, **kw
+            q, k, v, bias, q_seg, kv_seg, dropout_seed=seed,
+            q_positions=qpos, kv_positions=kpos, **kw
         )
         return (out, lse) if return_lse else out
 
-    def attn_fwd(q, k, v, bias, q_seg, kv_seg, seed):
+    def attn_fwd(q, k, v, bias, q_seg, kv_seg, qpos, kpos, seed):
         out, lse = flash_attention_fwd(
-            q, k, v, bias, q_seg, kv_seg, dropout_seed=seed, **kw
+            q, k, v, bias, q_seg, kv_seg, dropout_seed=seed,
+            q_positions=qpos, kv_positions=kpos, **kw
         )
-        res = (q, k, v, bias, q_seg, kv_seg, seed, out, lse)
+        res = (q, k, v, bias, q_seg, kv_seg, qpos, kpos, seed, out, lse)
         return ((out, lse) if return_lse else out), res
 
     def attn_bwd(res, g):
-        q, k, v, bias, q_seg, kv_seg, seed, out, lse = res
+        q, k, v, bias, q_seg, kv_seg, qpos, kpos, seed, out, lse = res
         do = g[0] if return_lse else g
         dq, dk, dv, dbias = flash_attention_bwd(
             q, k, v, out, lse, do, bias, q_seg, kv_seg,
-            dropout_seed=seed, **kw
+            dropout_seed=seed, q_positions=qpos, kv_positions=kpos, **kw
         )
         if dbias is not None:
             dbias = dbias.reshape(bias.shape)
-        return dq, dk, dv, dbias, None, None, None
+        return dq, dk, dv, dbias, None, None, None, None, None
 
     attn.defvjp(attn_fwd, attn_bwd)
     return attn
@@ -135,11 +137,19 @@ def flash_attention(
     dropout_seed=None,
     block_sizes: Optional[BlockSizes] = None,
     return_lse: bool = False,
+    q_positions: Optional[jax.Array] = None,
+    kv_positions: Optional[jax.Array] = None,
 ):
     """Kernel-layout flash attention: q (b, h, sq, d), k/v (b, hk, sk, d).
 
     Differentiable in q, k, v, bias. Returns out (b, h, sq, d) and, when
     ``return_lse``, the fp32 logsumexp (b, h, sq).
+
+    q_positions/kv_positions ((b, sq)/(b, sk) int32): when given, keys are
+    additionally masked to ``kpos <= qpos`` — the decoupled causal mask used
+    by ring attention (shard offsets) and varlen causal with different q/k
+    packings (per-sequence bottom-right alignment, ≙ the reference's
+    BlockInfo seqlen handling in csrc/flash_attn/src/block_info.h).
     """
     b, h, sq, d = q.shape
     sk = k.shape[2]
@@ -155,7 +165,8 @@ def flash_attention(
     if dropout_seed is not None and dropout_p > 0.0:
         seed = jnp.asarray(dropout_seed, jnp.int32).reshape(())
     fn = _make_attention_fn(static, return_lse)
-    return fn(q, k, v, bias, q_segment_ids, kv_segment_ids, seed)
+    return fn(q, k, v, bias, q_segment_ids, kv_segment_ids,
+              q_positions, kv_positions, seed)
 
 
 def _bshd_to_bhsd(x):
@@ -255,21 +266,41 @@ def flash_attn_varlen_func(
     q: (total_q, nheads, head_dim) packed; cu_seqlens_q: (batch+1,) int32.
     On TPU varlen is packed attention with segment-id masking — the
     cu_seqlens/BlockInfo design of the reference maps to per-token segment
-    ids (SURVEY §7 "Varlen on TPU").
+    ids plus per-block segment-range DMA/compute skip, so total work is
+    ~sum(len_i * len_i), not total_q * total_k (SURVEY §7 "Varlen on TPU").
 
-    Causal attention requires the *same packing* for q and k (self-attention,
-    cu_seqlens_q == cu_seqlens_k) so the block-diagonal causal mask aligns
-    per sequence; this covers the reference's training use (bert_padding).
+    Causal and sliding-window masks support *different* q/k packings
+    (cu_seqlens_q != cu_seqlens_k): each sequence is bottom-right aligned —
+    query at local index i attends keys with local index j <= i + (lk - lq)
+    — exactly the reference's BlockInfo semantics
+    (csrc/flash_attn/src/block_info.h). Implemented with per-token position
+    arrays derived from cu_seqlens (the kernels' position-window path).
     """
     del max_seqlen_q, max_seqlen_k, deterministic
     total_q = q.shape[0]
     total_k = k.shape[0]
-    if causal and total_q != total_k:
-        raise NotImplementedError(
-            "varlen causal currently requires identical q/k packing"
-        )
-    q_seg = _segment_ids_from_cu_seqlens(cu_seqlens_q, total_q)[None]
-    k_seg = _segment_ids_from_cu_seqlens(cu_seqlens_k, total_k)[None]
+    cu_q = jnp.asarray(cu_seqlens_q, jnp.int32)
+    cu_k = jnp.asarray(cu_seqlens_k, jnp.int32)
+    q_seg = _segment_ids_from_cu_seqlens(cu_q, total_q)[None]
+    k_seg = _segment_ids_from_cu_seqlens(cu_k, total_k)[None]
+    qpos = kpos = None
+    if causal or window_size[0] >= 0 or window_size[1] >= 0:
+        # per-sequence local positions, bottom-right aligned: qpos = local_q
+        # + (lk - lq) of the token's sequence, kpos = local_k. The position
+        # mask only acts within a sequence (the segment mask kills
+        # cross-sequence pairs regardless of positions).
+        def local_pos(cu, total):
+            t = jnp.arange(total, dtype=jnp.int32)
+            seq = jnp.searchsorted(cu, t, side="right") - 1
+            seq = jnp.clip(seq, 0, cu.shape[0] - 2)
+            return t - cu[seq], seq
+        lq_pos, q_seq = local_pos(cu_q, total_q)
+        lk_pos, _ = local_pos(cu_k, total_k)
+        seq_lens_q = cu_q[1:] - cu_q[:-1]
+        seq_lens_k = cu_k[1:] - cu_k[:-1]
+        off = (seq_lens_k - seq_lens_q)[q_seq]
+        qpos = (lq_pos + off)[None]
+        kpos = lk_pos[None]
     qt = jnp.swapaxes(q[None], 1, 2)  # (1, h, total_q, d)
     kt = jnp.swapaxes(k[None], 1, 2)
     vt = jnp.swapaxes(v[None], 1, 2)
@@ -278,6 +309,7 @@ def flash_attn_varlen_func(
         softmax_scale=softmax_scale, causal=causal, window_size=window_size,
         softcap=softcap, dropout_p=dropout_p, dropout_seed=dropout_seed,
         return_lse=return_attn_probs,
+        q_positions=qpos, kv_positions=kpos,
     )
     if return_attn_probs:
         out, lse = res

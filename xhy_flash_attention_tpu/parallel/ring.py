@@ -109,6 +109,9 @@ def _ring_fwd_impl(q, k, v, axis_name, causal, softmax_scale, softcap):
         o_i, lse_i = flash_attention_fwd(
             q, k_r, v_r,
             sm_scale=scale, softcap=softcap,
+            # causal=True folds to a (-1, 0) position-window: the kernels
+            # bound kpos <= qpos (global positions carried by the shards)
+            causal=causal,
             q_positions=qpos, kv_positions=kpos_r,
             need_lse=True,
         )
@@ -150,7 +153,7 @@ def _ring_bwd(axis_name, causal, softmax_scale, softcap, res, do):
     for step in range(n):
         dq_i, dk_i, dv_i, _ = flash_attention_bwd(
             q, k_r, v_r, out, lse, do,
-            sm_scale=scale, softcap=softcap,
+            sm_scale=scale, softcap=softcap, causal=causal,
             q_positions=qpos, kv_positions=kpos_r,
         )
         dq = dq + dq_i.astype(jnp.float32)
