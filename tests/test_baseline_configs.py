@@ -159,15 +159,22 @@ def test_config4_mixtral_gqa_blocksparse_prefill_tp():
     assert logits.shape == (4, 32, cfg.padded_vocab_size)
 
 
-def test_config5_sharded_fp8_kv_decode_multichip():
-    """#5: FP8-KV decode with the cache sharded across the (virtual) mesh,
-    merged with the ring/split-KV combine."""
+@pytest.mark.parametrize("qdtype", ["int8", "float8_e4m3fn"])
+def test_config5_sharded_quantized_kv_decode_multichip(qdtype):
+    """#5: quantized-KV (INT8 / FP8) decode with the cache sharded across
+    the (virtual) mesh, merged with the ring/split-KV combine — the
+    BASELINE north-star serving path: quantized pages AND cross-chip
+    partial merge in one flow."""
     from jax.sharding import Mesh, PartitionSpec as P
     from jax import shard_map
 
     from xhy_flash_attention_tpu.ops.decode import _decode_attention_xla
+    from xhy_flash_attention_tpu.ops.quant import (
+        QuantizedKV, dequantize_kv, quantize_kv,
+    )
     from xhy_flash_attention_tpu.parallel.ring import sharded_kv_decode
 
+    dt = jnp.dtype(qdtype)
     rng = np.random.default_rng(0)
     n = 4
     b, h, hk, d, S_local = 2, 4, 2, 64, 128
@@ -175,20 +182,31 @@ def test_config5_sharded_fp8_kv_decode_multichip():
     q = jnp.asarray(rng.standard_normal((b, 1, h, d)), jnp.float32)
     k = jnp.asarray(rng.standard_normal((b, hk, S, d)), jnp.float32)
     v = jnp.asarray(rng.standard_normal((b, hk, S, d)), jnp.float32)
+    kq = quantize_kv(k, dt)
+    vq = quantize_kv(v, dt)
     lengths = np.asarray([S, 300], np.int32)
     local_lengths = np.clip(
         lengths[None, :] - np.arange(n)[:, None] * S_local, 0, S_local
     )
     mesh = Mesh(np.asarray(jax.devices()[:n]), ("sp",))
     dec = shard_map(
-        lambda q, k, v, ln: sharded_kv_decode(q, k, v, ln[0], "sp"),
+        lambda q, kv_, ks_, vv_, vs_, ln: sharded_kv_decode(
+            q, QuantizedKV(kv_, ks_), QuantizedKV(vv_, vs_), ln[0], "sp"
+        ),
         mesh=mesh,
         in_specs=(P(), P(None, None, "sp", None), P(None, None, "sp", None),
+                  P(None, None, "sp", None), P(None, None, "sp", None),
                   P("sp", None)),
         out_specs=P(),
         check_vma=False,
     )
-    out = dec(q, k, v, jnp.asarray(local_lengths))
-    expect = _decode_attention_xla(q, k, v, jnp.asarray(lengths), d ** -0.5)
+    out = dec(q, kq.values, kq.scales, vq.values, vq.scales,
+              jnp.asarray(local_lengths))
+    # reference: exact attention over the DEQUANTIZED cache — only kernel
+    # error counts, not quantization error
+    expect = _decode_attention_xla(
+        q, dequantize_kv(kq), dequantize_kv(vq), jnp.asarray(lengths),
+        d ** -0.5,
+    )
     np.testing.assert_allclose(np.asarray(out), np.asarray(expect),
-                               atol=2e-5, rtol=1e-4)
+                               atol=2e-3, rtol=1e-3)

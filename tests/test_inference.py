@@ -245,3 +245,162 @@ def test_engine_int8_paged_matches_bf16_engine():
     # to agree (quantization error is small vs logit gaps in a random model)
     for rid in results["f32"]:
         assert results["f32"][rid][0] == results["int8"][rid][0], results
+
+
+@pytest.mark.parametrize("qdtype", ["int8", "float8_e4m3fn"])
+def test_splitkv_quantized_matches_dequantized(qdtype):
+    """Split-KV over a QUANTIZED cache (FA3 split-KV x k_descale/v_descale,
+    flash_api.h:69-78,141-162): partials computed with fused dequant must
+    match dense decode over the dequantized cache."""
+    from xhy_flash_attention_tpu.ops.quant import dequantize_kv, quantize_kv
+
+    dt = jnp.dtype(qdtype)
+    rng = np.random.default_rng(3)
+    b, h, hk, d = 2, 4, 2, 64
+    S = 1024
+    lengths = jnp.asarray([900, 512], jnp.int32)
+    q = jnp.asarray(rng.standard_normal((b, 1, h, d)), jnp.float32)
+    kq = quantize_kv(
+        jnp.asarray(rng.standard_normal((b, hk, S, d)), jnp.float32), dt
+    )
+    vq = quantize_kv(
+        jnp.asarray(rng.standard_normal((b, hk, S, d)), jnp.float32), dt
+    )
+    out_split = flash_decode_splitkv(
+        q, kq, vq, lengths, softmax_scale=d ** -0.5,
+        num_splits=2, block_k=256,
+    )
+    out_dense = _decode_attention_xla(
+        q, dequantize_kv(kq), dequantize_kv(vq), lengths, d ** -0.5
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_split), np.asarray(out_dense), atol=2e-3, rtol=1e-3
+    )
+
+
+@pytest.mark.parametrize("qdtype", [None, "int8"])
+def test_paged_prefill_chunked(qdtype):
+    """Chunked prefill against a paged cache (≙ FA3 paged-KV prefill,
+    csrc/flash_attn_v3/paged_kv.h): append uniform chunks of sq > 1 tokens
+    with append_paged_kv, attend each chunk with paged_flash_decode, and
+    match dense causal attention over the growing prefix."""
+    from xhy_flash_attention_tpu.ops.flash_attention.reference import (
+        attention_ref,
+    )
+
+    rng = np.random.default_rng(4)
+    b, h, hk, d = 2, 4, 2, 64
+    total, chunk, ps = 96, 32, 64
+    dt = jnp.float32 if qdtype is None else jnp.dtype(qdtype)
+    cache = PagedKVCache.create(
+        num_pages=8, kv_heads=hk, page_size=ps, head_dim=d,
+        batch=b, max_pages_per_seq=3, dtype=dt,
+    )
+    # map pages 0..2 for seq 0 and 3..5 for seq 1
+    table = np.full((b, 3), 7, np.int32)
+    table[0] = [0, 1, 2]
+    table[1] = [3, 4, 5]
+    cache = PagedKVCache(
+        k_pages=cache.k_pages, v_pages=cache.v_pages,
+        page_table=jnp.asarray(table), lengths=cache.lengths,
+        k_scales=cache.k_scales, v_scales=cache.v_scales,
+    )
+    q_all = jnp.asarray(rng.standard_normal((b, total, h, d)), jnp.float32)
+    k_all = jnp.asarray(rng.standard_normal((b, total, hk, d)), jnp.float32)
+    v_all = jnp.asarray(rng.standard_normal((b, total, hk, d)), jnp.float32)
+    atol = 2e-5 if qdtype is None else 2e-2
+    for c0 in range(0, total, chunk):
+        qc = q_all[:, c0:c0 + chunk]
+        kc = jnp.swapaxes(k_all[:, c0:c0 + chunk], 1, 2)
+        vc = jnp.swapaxes(v_all[:, c0:c0 + chunk], 1, 2)
+        cache = append_paged_kv(
+            cache, kc, vc, num_valid=jnp.full((b,), chunk, jnp.int32)
+        )
+        out = paged_flash_decode(qc, cache, softmax_scale=d ** -0.5)
+        # dense reference: causal attention of this chunk over the prefix
+        ref, _ = attention_ref(
+            q_all[:, :c0 + chunk], k_all[:, :c0 + chunk],
+            v_all[:, :c0 + chunk], causal=True, upcast=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref[:, c0:c0 + chunk]),
+            atol=atol, rtol=1e-2,
+        )
+    assert np.asarray(cache.lengths).tolist() == [total, total]
+
+
+@pytest.mark.parametrize("kind", ["dense", "int8", "paged"])
+def test_fused_decode_step(kind):
+    """fused_decode_step (one dispatch: rotary + append + attend,
+    ≙ ft_attention.cpp:226) == the three separate ops."""
+    from xhy_flash_attention_tpu.inference import fused_decode_step
+    from xhy_flash_attention_tpu.layers.rotary import apply_rotary_emb
+    from xhy_flash_attention_tpu.ops.flash_attention.decode_kernel import (
+        flash_decode,
+    )
+    from xhy_flash_attention_tpu.ops.quant import QuantizedKV, quantize_kv
+
+    rng = np.random.default_rng(5)
+    b, h, hk, d, S = 2, 4, 2, 64, 256
+    lengths = jnp.asarray([100, 37], jnp.int32)
+    q = jnp.asarray(rng.standard_normal((b, 1, h, d)), jnp.float32)
+    k_new = jnp.asarray(rng.standard_normal((b, hk, 1, d)), jnp.float32)
+    v_new = jnp.asarray(rng.standard_normal((b, hk, 1, d)), jnp.float32)
+    k0 = jnp.asarray(rng.standard_normal((b, hk, S, d)), jnp.float32)
+    v0 = jnp.asarray(rng.standard_normal((b, hk, S, d)), jnp.float32)
+    inv_freq = 1.0 / (10000.0 ** (jnp.arange(0, d, 2, jnp.float32) / d))
+
+    # reference: rotary at per-sample positions, manual append, flash_decode
+    def ref_rot(x, off):
+        freqs = jnp.asarray([[off]], jnp.float32)[..., None] * inv_freq
+        return apply_rotary_emb(x, jnp.cos(freqs[0]), jnp.sin(freqs[0]))
+
+    kr = jnp.stack([
+        ref_rot(jnp.swapaxes(k_new, 1, 2)[i:i+1], int(lengths[i]))[0]
+        for i in range(b)
+    ])
+    qr = jnp.stack([
+        ref_rot(q[i:i+1], int(lengths[i]))[0] for i in range(b)
+    ])
+    kc_ref = k0
+    vc_ref = v0
+    for i in range(b):
+        kc_ref = kc_ref.at[i, :, int(lengths[i])].set(
+            jnp.swapaxes(kr, 1, 2)[i, :, 0])
+        vc_ref = vc_ref.at[i, :, int(lengths[i])].set(v_new[i, :, 0])
+    expect = flash_decode(
+        qr, kc_ref, vc_ref, lengths + 1, softmax_scale=d ** -0.5
+    )
+
+    if kind == "dense":
+        cache = (k0, v0)
+        atol = 1e-5
+    elif kind == "int8":
+        cache = (quantize_kv(k0, jnp.int8), quantize_kv(v0, jnp.int8))
+        atol = 6e-2  # int8 cache quantization error
+    else:
+        ps, npp = 64, 5
+        c = PagedKVCache.create(16, hk, ps, d, b, npp, jnp.float32)
+        table = np.full((b, npp), 15, np.int32)
+        table[0] = [0, 1, 2, 3, 14]
+        table[1] = [4, 5, 6, 7, 14]
+        # scatter existing tokens into the pages
+        kp, vp = c.k_pages, c.v_pages
+        for i in range(b):
+            for t in range(int(lengths[i])):
+                kp = kp.at[table[i][t // ps], :, t % ps].set(k0[i, :, t])
+                vp = vp.at[table[i][t // ps], :, t % ps].set(v0[i, :, t])
+        cache = PagedKVCache(kp, vp, jnp.asarray(table), lengths)
+        atol = 1e-5
+    out, new_cache = fused_decode_step(
+        q, k_new, v_new, cache,
+        None if kind == "paged" else lengths, inv_freq,
+        softmax_scale=d ** -0.5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(expect), atol=atol, rtol=1e-2
+    )
+    if kind == "dense":
+        np.testing.assert_allclose(
+            np.asarray(new_cache[0]), np.asarray(kc_ref), atol=1e-6
+        )

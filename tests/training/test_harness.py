@@ -124,6 +124,36 @@ def test_train_mesh_dp_tp(token_file, tmp_path):
     t.init_params()
     loss = t.fit(max_steps=3, log=lambda *_: None)
     assert np.isfinite(loss)
+    # ZeRO-1: Adam moments must be sharded over the dp axis (unlike the
+    # dp-replicated params) — ≙ reference ddp_zero1.py per-rank shards
+    import jax
+
+    def dp_sharded(x):
+        return any(
+            "dp" in (e if isinstance(e, tuple) else (e,))
+            for e in x.sharding.spec if e is not None
+        )
+
+    def find_mu(node):
+        if hasattr(node, "mu"):
+            return node.mu
+        if isinstance(node, (tuple, list)):
+            for c in node:
+                r = find_mu(c)
+                if r is not None:
+                    return r
+        return None
+
+    moments = find_mu(t.opt_state)
+    assert moments is not None
+    n_leaves = 0
+    n_dp = 0
+    for leaf in jax.tree.leaves(moments):
+        n_leaves += 1
+        n_dp += bool(dp_sharded(leaf))
+    assert n_dp > 0 and n_dp >= n_leaves // 2, (n_dp, n_leaves)
+    for leaf in jax.tree.leaves(t.params):
+        assert not dp_sharded(leaf)
 
 
 def test_load_config_interpolation(tmp_path):

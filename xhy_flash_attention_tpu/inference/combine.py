@@ -68,8 +68,13 @@ def num_splits_heuristic(batch: int, num_kv_heads: int, seqlen: int,
 
 def _splitkv_kernel(lens_ref, *refs,
                     sm_scale, softcap, block_k, sq, g, rows_p,
-                    window_left, blocks_per_split):
-    q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, m_scr, l_scr, acc_scr = refs
+                    window_left, blocks_per_split, quantized):
+    if quantized:
+        (q_ref, k_ref, ks_ref, v_ref, vs_ref, o_ref, m_ref, l_ref,
+         m_scr, l_scr, acc_scr) = refs
+    else:
+        q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, m_scr, l_scr, acc_scr = refs
+        ks_ref = vs_ref = None
     b_idx = pl.program_id(0)
     isplit = pl.program_id(2)
     j = pl.program_id(3)
@@ -88,9 +93,17 @@ def _splitkv_kernel(lens_ref, *refs,
     def _run():
         q = q_ref[0, 0]
         k = k_ref[0, 0]
+        if quantized:
+            # fused dequant, same layout rules as decode_kernel.py: scales
+            # are lane-major (1, block_k) per-token rows folded into the
+            # tiny score matrix after the matmul (≙ FA3 k_descale/v_descale
+            # composed with split-KV, flash_api.h:69-78,141-162)
+            k = k.astype(q.dtype)
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
+        if quantized:
+            s *= ks_ref[0, 0]
         s *= sm_scale
         if softcap > 0.0:
             s = jnp.tanh(s / softcap) * softcap
@@ -112,6 +125,9 @@ def _splitkv_kernel(lens_ref, *refs,
         l_scr[...] = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
         m_scr[...] = m_next
         v = v_ref[0, 0]
+        if quantized:
+            p = p * vs_ref[0, 0]
+            v = v.astype(q.dtype)
         pv = jax.lax.dot_general(
             p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -142,27 +158,42 @@ def _splitkv_raw(
 ):
     """Per-split partials: (outs, ms, ls) with outs
     (b, hk, splits, rows_p, d) normalized fp32 and ms/ls
-    (b, hk, splits, rows_p, 8)."""
+    (b, hk, splits, rows_p, 8). Caches may be dense arrays or QuantizedKV
+    (INT8/FP8 payload + per-token scales — split-KV x quantized-KV, the
+    BASELINE config-#5 path)."""
+    from ..ops.quant import QuantizedKV
+
+    quantized = isinstance(k_cache, QuantizedKV)
+    k_scales = v_scales = None
+    if quantized:
+        k_cache, k_scales = k_cache.values, k_cache.scales
+        v_cache, v_scales = v_cache.values, v_cache.scales
     b, sq, h, d = q.shape
     hk, S = k_cache.shape[1], k_cache.shape[2]
     g = h // hk
     if softmax_scale is None:
         softmax_scale = d ** -0.5
+    if quantized and block_k == 512:
+        block_k = 1024  # 1-byte payloads want bigger DMA blocks
     Sp = round_up(S, block_k)
-    if Sp != S:
-        k_cache = jnp.pad(k_cache, ((0, 0), (0, 0), (0, Sp - S), (0, 0)))
-        v_cache = jnp.pad(v_cache, ((0, 0), (0, 0), (0, Sp - S), (0, 0)))
     nkv = Sp // block_k
     if num_splits <= 0:
         num_splits = num_splits_heuristic(b, hk, S, block_k)
     num_splits = min(num_splits, nkv)
     blocks_per_split = -(-nkv // num_splits)
-    # pad the block count so splits divide evenly
-    nkv_pad = blocks_per_split * num_splits
-    if nkv_pad != nkv:
-        pad = (nkv_pad - nkv) * block_k
-        k_cache = jnp.pad(k_cache, ((0, 0), (0, 0), (0, pad), (0, 0)))
-        v_cache = jnp.pad(v_cache, ((0, 0), (0, 0), (0, pad), (0, 0)))
+    # pad once: seqlen padding + split padding together
+    Sp = blocks_per_split * num_splits * block_k
+    if Sp != S:
+        pad = ((0, 0), (0, 0), (0, Sp - S), (0, 0))
+        k_cache = jnp.pad(k_cache, pad)
+        v_cache = jnp.pad(v_cache, pad)
+        if quantized:
+            k_scales = jnp.pad(k_scales, pad)
+            v_scales = jnp.pad(v_scales, pad)
+    if quantized:
+        # lane-major (b, hk, 1, S) per-token scale rows (see decode_kernel)
+        k_scales = k_scales[..., 0][:, :, None, :]
+        v_scales = v_scales[..., 0][:, :, None, :]
 
     rows = sq * g
     rows_p = round_up(max(8, rows), 8)
@@ -177,12 +208,28 @@ def _splitkv_raw(
         blk = jnp.minimum(isplit * blocks_per_split + j, hi)
         return (b_, h_, blk, 0)
 
+    def sc_index(b_, h_, isplit, j, lens_ref):
+        hi = jnp.maximum((lens_ref[b_] - 1) // block_k, 0)
+        blk = jnp.minimum(isplit * blocks_per_split + j, hi)
+        return (b_, h_, 0, blk)
+
+    kv_specs = [pl.BlockSpec((1, 1, block_k, d), kv_index)]
+    kv_inputs = [k_cache]
+    if quantized:
+        kv_specs.append(pl.BlockSpec((1, 1, 1, block_k), sc_index))
+        kv_inputs.append(k_scales)
+    kv_specs.append(pl.BlockSpec((1, 1, block_k, d), kv_index))
+    kv_inputs.append(v_cache)
+    if quantized:
+        kv_specs.append(pl.BlockSpec((1, 1, 1, block_k), sc_index))
+        kv_inputs.append(v_scales)
+
     outs, ms, ls = pl.pallas_call(
         functools.partial(
             _splitkv_kernel,
             sm_scale=float(softmax_scale), softcap=softcap, block_k=block_k,
             sq=sq, g=g, rows_p=rows_p, window_left=window_size[0],
-            blocks_per_split=blocks_per_split,
+            blocks_per_split=blocks_per_split, quantized=quantized,
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
@@ -190,9 +237,7 @@ def _splitkv_raw(
             in_specs=[
                 pl.BlockSpec((1, 1, rows_p, d),
                              lambda b_, h_, s_, j, *_: (b_, h_, 0, 0)),
-                pl.BlockSpec((1, 1, block_k, d), kv_index),
-                pl.BlockSpec((1, 1, block_k, d), kv_index),
-            ],
+            ] + kv_specs,
             out_specs=[
                 pl.BlockSpec((1, 1, 1, rows_p, d),
                              lambda b_, h_, s_, j, *_: (b_, h_, s_, 0, 0)),
@@ -217,7 +262,7 @@ def _splitkv_raw(
                                  "arbitrary"),
         ),
         interpret=interpret_mode() if interpret is None else interpret,
-    )(jnp.asarray(lengths, jnp.int32), qr, k_cache, v_cache)
+    )(jnp.asarray(lengths, jnp.int32), qr, *kv_inputs)
     return outs, ms, ls
 
 

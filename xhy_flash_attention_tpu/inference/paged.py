@@ -238,47 +238,52 @@ def paged_flash_decode(
     return out.reshape(b, sq, h, d)
 
 
-def append_paged_kv(cache: PagedKVCache, k_new: jax.Array, v_new: jax.Array
-                    ) -> PagedKVCache:
-    """Append one token per sequence into the tail page (functional;
-    ≙ FA3 knew/vnew append, csrc/flash_attn_v3 mainloop append path).
+def append_paged_kv(
+    cache: PagedKVCache,
+    k_new: jax.Array,
+    v_new: jax.Array,
+    num_valid: Optional[jax.Array] = None,
+) -> PagedKVCache:
+    """Append sq tokens per sequence into the tail pages (functional;
+    ≙ FA3 knew/vnew append, csrc/flash_attn_v3 mainloop append path — with
+    sq > 1 this is the paged-PREFILL append for chunked prefill).
 
-    k_new/v_new: (b, hk, 1, d). The page table must already have a physical
-    page mapped for the written slot (the engine's allocator guarantees it).
+    k_new/v_new: (b, hk, sq, d). The page table must already have physical
+    pages mapped for the written range (the engine's allocator guarantees
+    it); writes past the mapped range land on the reserved trash page.
 
-    Slots with lengths == 0 are inactive (continuous batching): their length
-    stays 0 and their write lands on whatever page_table[b, 0] points at —
-    the engine maps inactive rows to a reserved trash page.
+    num_valid: (b,) int32 tokens to account per sequence. Default keeps the
+    decode semantics: slots with lengths == 0 are inactive (continuous
+    batching — their length stays 0 and the write lands on the trash page);
+    active slots append all sq tokens. Chunked prefill passes num_valid
+    explicitly (e.g. to start from an empty slot). Writes are unconditional
+    for all sq rows — rows past num_valid land beyond the accounted length
+    (clamped out by the kernels, overwritten by later appends).
+
+    The whole append is ONE scatter per pages array (no per-batch loop).
     """
-    b = k_new.shape[0]
+    b, hk, sq, d = k_new.shape
     page_size = cache.page_size
     npp = cache.page_table.shape[1]
-    active = cache.lengths > 0
-    pos = cache.lengths  # next slot index per sequence
-    blk = pos // page_size
+    if num_valid is None:
+        num_valid = jnp.where(cache.lengths > 0, sq, 0)
+    num_valid = jnp.asarray(num_valid, cache.lengths.dtype)
+    pos = cache.lengths[:, None] + jnp.arange(sq, dtype=jnp.int32)[None]
+    blk = jnp.clip(pos // page_size, 0, npp - 1)
+    page_ids = jnp.take_along_axis(cache.page_table, blk, axis=1)  # (b, sq)
     off = pos % page_size
-    page_ids = jnp.take_along_axis(
-        cache.page_table, jnp.minimum(blk, npp - 1)[:, None], axis=1
-    )[:, 0]
+    pid = page_ids.reshape(-1)
+    offf = off.reshape(-1)
 
     def write(pages, new):
-        # scatter one row per batch into (page_id, :, off, :)
-        def upd(pages, i):
-            return jax.lax.dynamic_update_slice(
-                pages, new[i].astype(pages.dtype)[None],
-                (page_ids[i], 0, off[i], 0),
-            )
-        return jax.lax.fori_loop(
-            0, b, lambda i, p: upd(p, i), pages
-        )
+        # (b, hk, sq, d) -> (b*sq, hk, d) rows scattered to (page, :, off, :)
+        rows = jnp.swapaxes(new, 1, 2).reshape(b * sq, hk, d)
+        return pages.at[pid, :, offf, :].set(rows.astype(pages.dtype))
 
     def write_scale(scales, new_scale):
-        # (num_pages, hk, 1, page_size) lane-major: scatter one lane
-        def upd(scales, i):
-            return jax.lax.dynamic_update_slice(
-                scales, new_scale[i][None], (page_ids[i], 0, 0, off[i]),
-            )
-        return jax.lax.fori_loop(0, b, lambda i, s: upd(s, i), scales)
+        # (num_pages, hk, 1, page_size) lane-major: scatter one lane each
+        rows = jnp.swapaxes(new_scale[..., 0], 1, 2).reshape(b * sq, hk)
+        return scales.at[pid, :, 0, offf].set(rows)
 
     if cache.quantized:
         from ..ops.quant import quantize_kv
@@ -289,19 +294,16 @@ def append_paged_kv(cache: PagedKVCache, k_new: jax.Array, v_new: jax.Array
             k_pages=write(cache.k_pages, kq.values),
             v_pages=write(cache.v_pages, vq.values),
             page_table=cache.page_table,
-            lengths=cache.lengths + active.astype(cache.lengths.dtype),
-            # scales (b, hk, 1, d->token) reshape: (b, hk, 1, 1)
-            k_scales=write_scale(cache.k_scales,
-                                 kq.scales.reshape(b, hk_of(cache), 1, 1)),
-            v_scales=write_scale(cache.v_scales,
-                                 vq.scales.reshape(b, hk_of(cache), 1, 1)),
+            lengths=cache.lengths + num_valid,
+            k_scales=write_scale(cache.k_scales, kq.scales),
+            v_scales=write_scale(cache.v_scales, vq.scales),
         )
 
     return PagedKVCache(
         k_pages=write(cache.k_pages, k_new),
         v_pages=write(cache.v_pages, v_new),
         page_table=cache.page_table,
-        lengths=cache.lengths + active.astype(cache.lengths.dtype),
+        lengths=cache.lengths + num_valid,
     )
 
 

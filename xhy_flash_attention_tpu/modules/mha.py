@@ -184,11 +184,11 @@ class MHA(nn.Module):
 
         new_cache = None
         if paged:
-            # continuous-batching decode against a paged cache
-            # (≙ FA3 paged-KV + append-KV decode, flash_api.h:100-150)
+            # decode (sq == 1) or chunked prefill (sq > 1, uniform chunks)
+            # against a paged cache (≙ FA3 paged-KV + append-KV,
+            # flash_api.h:100-150 and paged_kv.h prefill)
             from ..inference.paged import append_paged_kv, paged_flash_decode
 
-            assert sq == 1, "paged path is decode-only (sq == 1)"
             cache = append_paged_kv(
                 kv_cache, jnp.swapaxes(k, 1, 2), jnp.swapaxes(v, 1, 2)
             )

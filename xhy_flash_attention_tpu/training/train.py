@@ -37,6 +37,58 @@ from .optim import make_optimizer
 __all__ = ["Trainer", "train"]
 
 
+def _zero1_moment_specs(specs, params, dp: int):
+    """PartitionSpecs for dp-sharded optimizer moments (ZeRO-1): each
+    param-shaped moment gets 'dp' on its largest dp-divisible dimension not
+    already sharded by tp; indivisible (small) leaves stay replicated."""
+    from jax.sharding import PartitionSpec as P
+
+    def one(spec, p):
+        if p.ndim == 0:
+            return spec
+        entries = list(spec) + [None] * (p.ndim - len(spec))
+        best = -1
+        for i in range(p.ndim):
+            if entries[i] is None and p.shape[i] % dp == 0 and p.shape[i] > 1:
+                if best < 0 or p.shape[i] > p.shape[best]:
+                    best = i
+        if best < 0:
+            return spec
+        entries[best] = "dp"
+        return P(*entries)
+
+    from jax.sharding import PartitionSpec
+    return jax.tree.map(
+        one, specs, params,
+        is_leaf=lambda x: isinstance(x, PartitionSpec),
+    )
+
+
+def _map_param_subtrees(f, opt_state, params):
+    """Apply f to every subtree of opt_state congruent to the params tree
+    (optax moment trees: Adam mu/nu, EMA, ...), leaving scalars (count)
+    and everything else untouched."""
+    pstruct = jax.tree.structure(params)
+
+    def rec(node):
+        try:
+            if jax.tree.structure(node) == pstruct:
+                return f(node)
+        except Exception:
+            pass
+        if isinstance(node, tuple):
+            vals = [rec(c) for c in node]
+            return type(node)(*vals) if hasattr(node, "_fields") \
+                else tuple(vals)
+        if isinstance(node, list):
+            return [rec(c) for c in node]
+        if isinstance(node, dict):
+            return {k: rec(v) for k, v in node.items()}
+        return node
+
+    return rec(opt_state)
+
+
 class Trainer:
     def __init__(self, cfg: TrainConfig):
         self.cfg = cfg
@@ -105,14 +157,27 @@ class Trainer:
         params_tp, specs = shard_gpt_params(
             self.params, self.model_cfg, tp, self.mesh
         )
-        # commit params to their NamedShardings; optimizer moments then
-        # inherit the layout from zeros_like at init — ZeRO-1 for free
-        # (≙ ddp_zero1.py ZeroRedundancyOptimizer's per-rank shards)
         self.params = jax.tree.map(
             lambda x, s: jax.device_put(x, NamedSharding(self.mesh, s)),
             params_tp, specs,
         )
         self.opt_state = self.opt.init(self.params)
+        # ZeRO-1 (≙ ddp_zero1.py ZeroRedundancyOptimizer's per-rank
+        # shards): optimizer moments are additionally sharded over the dp
+        # axis — params stay dp-replicated for the forward, but each dp
+        # rank stores only 1/dp of the Adam state. XLA's SPMD partitioner
+        # then runs the update on the shards and re-gathers the params.
+        self._zero1_specs = None
+        if dp > 1:
+            self._zero1_specs = _zero1_moment_specs(specs, self.params, dp)
+            place = lambda sub: jax.tree.map(
+                lambda x, s: jax.device_put(
+                    x, NamedSharding(self.mesh, s)),
+                sub, self._zero1_specs,
+            )
+            self.opt_state = _map_param_subtrees(
+                place, self.opt_state, self.params
+            )
 
         def local_grads(p, ids, labels):
             def local_loss(p):
@@ -138,11 +203,28 @@ class Trainer:
             check_vma=False,
         )
 
+        zspecs = self._zero1_specs
+        mesh = self.mesh
+
         def step_fn(params, opt_state, ids, labels):
             loss, grads = grad_fn(params, ids, labels)
             gnorm = grad_norm(grads)
             updates, opt_state = self.opt.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
+            if zspecs is not None:
+                # keep the moments dp-sharded across steps (ZeRO-1) and the
+                # params on their tp layout — XLA inserts the scatter/gather
+                constrain = lambda sub: jax.tree.map(
+                    lambda x, s: jax.lax.with_sharding_constraint(
+                        x, NamedSharding(mesh, s)),
+                    sub, zspecs,
+                )
+                opt_state = _map_param_subtrees(constrain, opt_state, params)
+                params = jax.tree.map(
+                    lambda x, s: jax.lax.with_sharding_constraint(
+                        x, NamedSharding(mesh, s)),
+                    params, specs,
+                )
             return params, opt_state, loss, gnorm
 
         return jax.jit(step_fn, donate_argnums=(0, 1))
