@@ -78,3 +78,56 @@ def test_moe_expert_parallel_matches_dense():
     np.testing.assert_allclose(
         np.asarray(out), np.asarray(expect), atol=2e-5, rtol=1e-4
     )
+
+
+def test_moe_grouped_matches_dense_dispatch():
+    """Grouped (ragged_dot megablocks-style) dispatch == dense dispatch,
+    single device."""
+    from xhy_flash_attention_tpu.modules.moe import MoEMlp
+
+    E, k = 8, 2
+    moe_d = MoEMlp(num_experts=E, num_experts_per_tok=k,
+                   hidden_features=64, grouped=False)
+    moe_g = MoEMlp(num_experts=E, num_experts_per_tok=k,
+                   hidden_features=64, grouped=True)
+    x = jax.random.normal(jax.random.PRNGKey(0), (96, 32), jnp.float32)
+    params = moe_d.init(jax.random.PRNGKey(1), x)
+    out_d = moe_d.apply(params, x)
+    out_g = jax.jit(moe_g.apply)(params, x)
+    np.testing.assert_allclose(
+        np.asarray(out_g), np.asarray(out_d), atol=2e-5, rtol=1e-4
+    )
+
+
+def test_moe_grouped_expert_parallel():
+    """Grouped dispatch under EP: non-local assignments sort to the tail
+    (ragged_dot zero rows) and the psum reassembles exactly."""
+    from jax.sharding import Mesh, PartitionSpec as P
+    from jax import shard_map
+
+    from xhy_flash_attention_tpu.modules.moe import MoEMlp
+
+    E, k, ep = 8, 2, 4
+    moe_d = MoEMlp(num_experts=E, num_experts_per_tok=k,
+                   hidden_features=64, grouped=False)
+    x = jax.random.normal(jax.random.PRNGKey(2), (64, 32), jnp.float32)
+    params = moe_d.init(jax.random.PRNGKey(3), x)
+    expect = moe_d.apply(params, x)
+
+    local = MoEMlp(num_experts=E // ep, num_experts_per_tok=k,
+                   hidden_features=64, ep_axis="ep",
+                   num_experts_global=E, grouped=True)
+    mesh = Mesh(np.asarray(jax.devices()[:ep]), ("ep",))
+    run = shard_map(
+        lambda p, x: local.apply(p, x),
+        mesh=mesh,
+        in_specs=({"params": {"gate": {"kernel": P()},
+                              "w1": P("ep", None, None),
+                              "w2": P("ep", None, None)}}, P()),
+        out_specs=P(),
+        check_vma=False,
+    )
+    out = jax.jit(run)(params, x)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(expect), atol=2e-5, rtol=1e-4
+    )

@@ -441,3 +441,122 @@ def test_flash_attn_bias_gqa(bias_kind):
     check_contract(dv, dv_ref, dv_lp, "dv")
     check_contract(dbias.reshape(dbias_ref.shape), dbias_ref, dbias_lp,
                    "dbias")
+
+
+# Head-dim x seqlen breadth sweep (≙ reference tests/test_flash_attn.py:
+# 333-345 which sweeps d in 32..256 incl. 59/111 and odd seqlens). Kept to
+# a representative product so the suite stays runnable in interpret mode;
+# each case checks fwd + all grads against the fp32/low-precision contract.
+@pytest.mark.parametrize("causal", [False, True])
+@pytest.mark.parametrize(
+    "seqlen_q,seqlen_k,d",
+    [
+        (97, 97, 32),
+        (128, 217, 40),
+        (130, 130, 59),
+        (108, 256, 80),
+        (256, 512, 96),
+        (91, 300, 111),
+        (512, 512, 160),
+        (128, 128, 192),
+        (239, 239, 224),
+        (64, 128, 256),
+    ],
+)
+def test_flash_attn_hdim_seqlen_sweep(seqlen_q, seqlen_k, d, causal):
+    dtype = jnp.bfloat16
+    b, h = 1, 2
+    keys = jax.random.split(jax.random.PRNGKey(12), 4)
+    q = _rand(keys[0], (b, seqlen_q, h, d), dtype)
+    k = _rand(keys[1], (b, seqlen_k, h, d), dtype)
+    v = _rand(keys[2], (b, seqlen_k, h, d), dtype)
+    do = _rand(keys[3], (b, seqlen_q, h, d), dtype)
+
+    f = functools.partial(flash_attn_func, causal=causal)
+    out, vjp = jax.vjp(f, q, k, v)
+    dq, dk, dv = vjp(do)
+    ref_f = functools.partial(attention_ref, causal=causal, upcast=True)
+    out_ref, vjp_ref = jax.vjp(lambda q, k, v: ref_f(q, k, v)[0], q, k, v)
+    dq_ref, dk_ref, dv_ref = vjp_ref(do)
+    lp_f = functools.partial(
+        attention_ref, causal=causal, upcast=False, reorder_ops=True
+    )
+    out_lp, vjp_lp = jax.vjp(lambda q, k, v: lp_f(q, k, v)[0], q, k, v)
+    dq_lp, dk_lp, dv_lp = vjp_lp(do)
+    check_contract(out, out_ref, out_lp, "out")
+    check_contract(dq, dq_ref, dq_lp, "dq")
+    check_contract(dk, dk_ref, dk_lp, "dk")
+    check_contract(dv, dv_ref, dv_lp, "dv")
+
+
+@pytest.mark.parametrize("causal", [False, True])
+@pytest.mark.parametrize("d", [64, 128])
+def test_flash_attn_dropout_causal_hdim(d, causal):
+    """Dropout x causal x head-dim product: the dropped-key renormalization
+    must agree between kernel and reference given the same keep mask
+    (recovered from the kernel's deterministic counter RNG)."""
+    from xhy_flash_attention_tpu.ops.flash_attention.common import (
+        dropout_keep_mask,
+    )
+
+    b, s, h = 1, 192, 2
+    p_drop = 0.3
+    seed = 1234
+    keys = jax.random.split(jax.random.PRNGKey(13), 4)
+    q = _rand(keys[0], (b, s, h, d), jnp.bfloat16)
+    k = _rand(keys[1], (b, s, h, d), jnp.bfloat16)
+    v = _rand(keys[2], (b, s, h, d), jnp.bfloat16)
+    out = flash_attn_func(
+        q, k, v, dropout_p=p_drop, causal=causal, dropout_seed=seed
+    )
+    # rebuild the exact keep mask the kernel generated
+    rows = jnp.arange(s, dtype=jnp.int32)[:, None]
+    cols = jnp.arange(s, dtype=jnp.int32)[None, :]
+    keep = jnp.stack([
+        jnp.stack([
+            dropout_keep_mask(
+                jnp.int32(seed), jnp.int32(bi * h + hi), rows, cols, p_drop
+            )
+            for hi in range(h)
+        ])
+        for bi in range(b)
+    ])
+    ref, _ = attention_ref(
+        q, k, v, dropout_p=p_drop, dropout_mask=keep, causal=causal,
+        upcast=True,
+    )
+    lp, _ = attention_ref(
+        q, k, v, dropout_p=p_drop, dropout_mask=keep, causal=causal,
+        upcast=False, reorder_ops=True,
+    )
+    check_contract(out, ref, lp, "out")
+
+
+def test_return_attn_probs_s_dmask():
+    """return_attn_probs S_dmask: probabilities match the reference and the
+    dropout keep mask is recoverable as S_dmask >= 0 (≙ the reference's
+    dropout test methodology, tests/test_flash_attn.py:218-301)."""
+    b, s, h, d = 1, 192, 2, 64
+    p_drop, seed = 0.25, 77
+    keys = jax.random.split(jax.random.PRNGKey(14), 3)
+    q = _rand(keys[0], (b, s, h, d), jnp.bfloat16)
+    k = _rand(keys[1], (b, s, h, d), jnp.bfloat16)
+    v = _rand(keys[2], (b, s, h, d), jnp.bfloat16)
+    out, lse, s_dmask = flash_attn_func(
+        q, k, v, dropout_p=p_drop, causal=True, dropout_seed=seed,
+        return_attn_probs=True,
+    )
+    assert s_dmask.shape == (b, h, s, s)
+    keep = np.asarray(s_dmask) >= 0
+    probs = np.abs(np.asarray(s_dmask))
+    ref, ref_probs = attention_ref(q, k, v, causal=True, upcast=True)
+    np.testing.assert_allclose(
+        probs, np.asarray(ref_probs), atol=3e-2, rtol=1e-2
+    )
+    # the recovered mask reproduces the kernel's dropout output
+    ref_drop, _ = attention_ref(
+        q, k, v, dropout_p=p_drop, dropout_mask=jnp.asarray(keep),
+        causal=True, upcast=True,
+    )
+    err = np.max(np.abs(np.asarray(out, np.float32) - np.asarray(ref_drop)))
+    assert err < 5e-2, err

@@ -173,6 +173,63 @@ def _bshd_to_bhsd(x):
     return jnp.swapaxes(x, 1, 2)
 
 
+def _attn_probs_debug(qt, kt, lse, *, softmax_scale, causal, window_size,
+                      softcap, dropout_p, dropout_seed,
+                      q_seg=None, k_seg=None, qpos=None, kpos=None):
+    """S_dmask debug tensor (b, h, sq, sk): softmax probabilities
+    recomputed from the saved LSE, with DROPPED entries negated — the
+    reference's return_attn_probs S_dmask encoding (its dropout tests
+    recover the mask as S >= 0, tests/test_flash_attn.py:218-301).
+
+    Debug only: materializes the full O(sq*sk) matrix with plain XLA ops
+    (the production kernels never do).
+    """
+    from .common import NEG_INF, dropout_keep_mask
+
+    b, h, sq, d = qt.shape
+    hk, sk = kt.shape[1], kt.shape[2]
+    if hk != h:
+        kt = jnp.repeat(kt, h // hk, axis=1)
+    s = jnp.einsum(
+        "bhsd,bhtd->bhst", qt.astype(jnp.float32), kt.astype(jnp.float32)
+    ) * softmax_scale
+    if softcap > 0.0:
+        s = jnp.tanh(s / softcap) * softcap
+    if causal:
+        window_size = (window_size[0], 0)
+    if qpos is not None:
+        qp = qpos[:, None, :, None].astype(jnp.int32)
+        kp = kpos[:, None, None, :].astype(jnp.int32)
+        if window_size[1] >= 0:
+            s = jnp.where(kp <= qp + window_size[1], s, NEG_INF)
+        if window_size[0] >= 0:
+            s = jnp.where(kp >= qp - window_size[0], s, NEG_INF)
+    else:
+        rows = jnp.arange(sq, dtype=jnp.int32)[:, None]
+        cols = jnp.arange(sk, dtype=jnp.int32)[None, :]
+        offset = sk - sq
+        if window_size[1] >= 0:
+            s = jnp.where(cols <= rows + offset + window_size[1], s, NEG_INF)
+        if window_size[0] >= 0:
+            s = jnp.where(cols >= rows + offset - window_size[0], s, NEG_INF)
+    if q_seg is not None:
+        s = jnp.where(
+            q_seg[:, None, :, None] == k_seg[:, None, None, :], s, NEG_INF
+        )
+    p = jnp.exp(s - lse[..., None])  # lse = +inf on empty rows -> p = 0
+    if dropout_p > 0.0:
+        rows = jnp.arange(sq, dtype=jnp.int32)[:, None]
+        cols = jnp.arange(sk, dtype=jnp.int32)[None, :]
+        salts = (jnp.arange(b, dtype=jnp.int32)[:, None] * h
+                 + jnp.arange(h, dtype=jnp.int32)[None, :])
+        seed = jnp.asarray(dropout_seed, jnp.int32).reshape(())
+        keep = jax.vmap(jax.vmap(
+            lambda salt: dropout_keep_mask(seed, salt, rows, cols, dropout_p)
+        ))(salts)
+        p = jnp.where(keep, p, -p)
+    return p
+
+
 def flash_attn_func(
     q, k, v,
     dropout_p: float = 0.0,
@@ -189,8 +246,11 @@ def flash_attn_func(
 
     q: (batch, seqlen_q, nheads, head_dim); k/v: (batch, seqlen_k, nheads_k,
     head_dim). Returns out in the same layout; with ``return_attn_probs``
-    returns (out, softmax_lse, None) — the S_dmask debug tensor is not
-    materialized (use reference.attention_ref for prob-level checks).
+    returns (out, softmax_lse, S_dmask) where S_dmask (b, h, sq, sk) holds
+    the softmax probabilities with dropped entries negated (≙ the
+    reference's encoding — recover the keep mask as S_dmask >= 0). Debug
+    only: S_dmask is recomputed with plain XLA ops and materializes the
+    full score matrix.
     """
     del deterministic
     qt, kt, vt = map(_bshd_to_bhsd, (q, k, v))
@@ -202,7 +262,14 @@ def flash_attn_func(
     )
     if return_attn_probs:
         out, lse = res
-        return _bshd_to_bhsd(out), lse, None
+        scale = softmax_scale if softmax_scale is not None \
+            else 1.0 / math.sqrt(q.shape[-1])
+        s_dmask = _attn_probs_debug(
+            qt, kt, lse, softmax_scale=scale, causal=causal,
+            window_size=window_size, softcap=softcap, dropout_p=dropout_p,
+            dropout_seed=dropout_seed,
+        )
+        return _bshd_to_bhsd(out), lse, s_dmask
     return _bshd_to_bhsd(res)
 
 
@@ -313,7 +380,15 @@ def flash_attn_varlen_func(
     )
     if return_attn_probs:
         out, lse = res
-        return jnp.swapaxes(out, 1, 2)[0], lse[0], None
+        scale = softmax_scale if softmax_scale is not None \
+            else 1.0 / math.sqrt(q.shape[-1])
+        s_dmask = _attn_probs_debug(
+            qt, kt, lse, softmax_scale=scale, causal=causal,
+            window_size=window_size, softcap=softcap, dropout_p=dropout_p,
+            dropout_seed=dropout_seed, q_seg=q_seg, k_seg=k_seg,
+            qpos=qpos, kpos=kpos,
+        )
+        return jnp.swapaxes(out, 1, 2)[0], lse[0], s_dmask[0]
     return jnp.swapaxes(res, 1, 2)[0]
 
 
