@@ -194,3 +194,24 @@ def test_evaluate_and_loggers(token_file, tmp_path):
     import json
     lines = [json.loads(ln) for ln in open(tmp_path / "log.jsonl")]
     assert lines[0]["loss"] == 1.0 and lines[1]["step"] == 5
+
+
+def test_config_ladder_loads():
+    """Every experiment YAML in the ladder (≙ reference
+    training/configs/experiment/{owt,pile}) composes, interpolates, and
+    builds a valid GPTConfig."""
+    from pathlib import Path
+
+    from xhy_flash_attention_tpu.models.gpt import GPTConfig
+    from xhy_flash_attention_tpu.training.config import load_config
+
+    root = Path("xhy_flash_attention_tpu/training/configs/experiment")
+    files = sorted(root.rglob("*.yaml"))
+    assert len(files) >= 11, files
+    for f in files:
+        cfg = load_config(f)
+        mc = GPTConfig(**cfg.model)
+        assert mc.hidden_size % mc.num_attention_heads == 0, f
+        assert cfg.model["max_position_embeddings"] in (0, cfg.data.seqlen), f
+        dp, tp = cfg.mesh
+        assert mc.num_attention_heads % tp == 0, f
