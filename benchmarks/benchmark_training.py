@@ -62,17 +62,24 @@ def run(name="gpt2s", remat=False, steps=8):
         (p, o), losses = jax.lax.scan(step, (p, o), None, length=n)
         return p, o, losses[-1]
 
-    f1 = jax.jit(lambda p, o: chain(p, o, 1))
-    fn = jax.jit(lambda p, o: chain(p, o, steps))
-    _, _, l0 = f1(params, opt_state)
-    jax.block_until_ready(l0)
-    _, _, l1 = fn(params, opt_state)
-    jax.block_until_ready(l1)
+    # donate (params, opt_state) so the chain updates in place — without
+    # donation XLA holds input + output copies of params AND both Adam
+    # moments, which OOMs gpt2m+ on one chip
+    f1 = jax.jit(lambda p, o: chain(p, o, 1), donate_argnums=(0, 1))
+    fn = jax.jit(lambda p, o: chain(p, o, steps), donate_argnums=(0, 1))
+
+    def once(f):
+        nonlocal params, opt_state
+        params, opt_state, loss = f(params, opt_state)
+        return loss
+
+    jax.block_until_ready(once(f1))
+    jax.block_until_ready(once(fn))
     t0 = time.perf_counter()
-    _, _, loss = f1(params, opt_state)
+    loss = once(f1)
     print("warm single-step loss:", float(loss))
     t1 = time.perf_counter()
-    _, _, loss = fn(params, opt_state)
+    loss = once(fn)
     print("loss:", float(loss))  # forces sync
     t2 = time.perf_counter()
     dt = ((t2 - t1) - (t1 - t0)) / (steps - 1)

@@ -82,6 +82,7 @@ def _fwd_kernel(
     deferred: bool = False,
     pos_window: Tuple[int, int] = (-1, -1),
     has_segstats: bool = False,
+    diag_mask_tile: bool = False,
 ):
     it = iter(refs)
     if dropout_p > 0.0:
@@ -101,6 +102,7 @@ def _fwd_kernel(
     q_ref = next(it)
     k_ref = next(it)
     v_ref = next(it)
+    dmask_ref = next(it) if diag_mask_tile else None
     bias_ref = next(it) if has_bias else None
     qseg_ref = next(it) if has_segments else None
     kseg_ref = next(it) if has_segments else None
@@ -251,7 +253,13 @@ def _fwd_kernel(
             s = jnp.tanh(s / softcap) * softcap
         if has_bias:
             s += bias_ref[0, 0].astype(jnp.float32)
-        if apply_position_mask:
+        if apply_position_mask and diag_mask_tile:
+            # pure aligned causal: every masked block is a diagonal block
+            # and shares ONE (bq, bk) additive mask pattern — a resident
+            # VMEM tile (constant index map -> fetched once) replaces the
+            # per-block iota/compare/where passes with a single add
+            s += dmask_ref[...].astype(jnp.float32)
+        elif apply_position_mask:
             rows = q_start + jax.lax.broadcasted_iota(
                 jnp.int32, (block_q, block_k), 0
             )
@@ -593,6 +601,24 @@ def flash_attention_fwd(
         pl.BlockSpec((1, 1, bk, d), kv_blk),
         pl.BlockSpec((1, 1, bk, d), kv_blk),
     ])
+    # Pure aligned causal: every masked block is a diagonal block sharing
+    # one (bq, bk) pattern — ship it once as a resident additive tile
+    # (constant index map => a single DMA for the whole kernel) so the
+    # masked branch costs one add instead of iota/compare/where passes.
+    diag_mask_tile = (
+        has_right and offset + window_size[1] == 0 and not has_left
+        and bq == bk and sq == sk and sqp == sq and skp == sk
+        and not has_flashmask and not has_positions
+    )
+    if diag_mask_tile:
+        tri = (
+            jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
+            <= jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
+        )
+        inputs.append(jnp.where(tri, 0.0, NEG_INF).astype(jnp.bfloat16))
+        in_specs.append(
+            pl.BlockSpec((bq, bk), lambda b_, h_, iq, ikv, *_: (0, 0))
+        )
     has_bias = bias is not None
     if has_bias:
         bias = jnp.asarray(bias)
@@ -692,6 +718,7 @@ def flash_attention_fwd(
         has_eff=has_eff,
         pos_window=pos_window,
         has_segstats=has_segments,
+        diag_mask_tile=diag_mask_tile,
         # Deferred-shift softmax needs every q row to have at least one
         # visible key in the ikv==0 seed block: true for plain/causal/
         # bias/dropout/right-window (offset >= 0) attention, but not once
