@@ -404,3 +404,55 @@ def test_fused_decode_step(kind):
         np.testing.assert_allclose(
             np.asarray(new_cache[0]), np.asarray(kc_ref), atol=1e-6
         )
+
+
+def test_engine_tensor_parallel_matches_single():
+    """Continuous-batching engine over a TP-sharded model (heads + paged
+    caches sharded over the tp axis via inference.tp.tp_model_apply) must
+    generate the same tokens as the single-device engine — multi-chip
+    serving ≙ the reference's multi-GPU generation
+    (tests/models/test_gpt_generation_parallel.py) composed with
+    continuous batching."""
+    from xhy_flash_attention_tpu.inference import tp_model_apply
+    from xhy_flash_attention_tpu.models.gpt import GPTConfig, GPTLMHeadModel
+    from xhy_flash_attention_tpu.parallel import make_mesh
+    from xhy_flash_attention_tpu.parallel.tp import (
+        local_config,
+        shard_gpt_params,
+    )
+
+    tp = 2
+    cfg = GPTConfig(
+        vocab_size=128, hidden_size=64, num_hidden_layers=2,
+        num_attention_heads=4, num_attention_heads_kv=2,
+        intermediate_size=128, max_position_embeddings=0,
+        rotary_emb_fraction=1.0, rms_norm=True,
+        activation_function="swiglu", tie_word_embeddings=False,
+        qkv_proj_bias=False, out_proj_bias=False,
+        mlp_fc1_bias=False, mlp_fc2_bias=False, dtype=jnp.float32,
+    )
+    model = GPTLMHeadModel(cfg)
+    rng = np.random.default_rng(0)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 8), jnp.int32))
+    prompts = [rng.integers(0, cfg.vocab_size, (n,)).astype(np.int32)
+               for n in (5, 9)]
+
+    def run_engine(apply_fn, params_):
+        eng = InferenceEngine(
+            apply_fn, params_, num_layers=2, num_kv_heads=2, head_dim=16,
+            num_pages=32, page_size=128, max_batch=4, max_pages_per_seq=2,
+            dtype=jnp.float32,
+        )
+        for i, p in enumerate(prompts):
+            eng.add_request(Request(rid=i, prompt=p, max_new_tokens=4))
+        return eng.run()
+
+    golden = run_engine(model.apply, params)
+
+    mesh = make_mesh(dp=1, tp=tp)
+    lc = local_config(cfg, tp, sequence_parallel=False)
+    model_tp = GPTLMHeadModel(lc)
+    params_tp, specs = shard_gpt_params(params, cfg, tp, mesh)
+    apply_tp = tp_model_apply(model_tp, specs, mesh, cfg.vocab_size)
+    got = run_engine(apply_tp, params_tp)
+    assert got == golden, (got, golden)

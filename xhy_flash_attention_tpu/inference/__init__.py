@@ -16,3 +16,4 @@ from .paged import (
 from .combine import merge_attention_partials, flash_decode_splitkv
 from .engine import InferenceEngine, Request
 from .fused_step import fused_decode_step
+from .tp import tp_model_apply
