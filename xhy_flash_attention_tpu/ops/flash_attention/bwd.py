@@ -359,6 +359,136 @@ def _bwd_dkv_kernel(refs, *, params):
         dv_ref[0, 0] = dv_scr[...]
 
 
+def _bwd_merged_kernel(refs, *, params):
+    """Single-pass backward (fast path): dK/dV accumulate in VMEM over the
+    inner (group, q-block) axis while each (kv-block, q-block) pair writes
+    its dQ partial to an fp32 HBM workspace, reduced outside — the
+    reference's dq_accum workspace (flash_bwd_kernel.h:427 + convert_dQ)
+    without atomics. One recompute serves all three gradients: 5 matmuls
+    per tile vs the split kernels' 7 (measured on v5e: causal 78->90,
+    non-causal 117->140 TFLOP/s)."""
+    it = iter(refs)
+    if params["dropout_p"] > 0.0:
+        seed_ref = next(it)
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref = (
+        next(it), next(it), next(it), next(it), next(it), next(it),
+    )
+    dq_ref = next(it)
+    dk_ref = next(it)
+    dv_ref = next(it)
+    dk_scr = next(it)
+    dv_scr = next(it)
+
+    b_idx, h_idx = pl.program_id(0), pl.program_id(1)
+    ikv, j_inner = pl.program_id(2), pl.program_id(3)
+    bq, bk = params["block_q"], params["block_k"]
+    sq, sk = params["seqlen_q"], params["seqlen_k"]
+    offset = params["offset"]
+    window = params["window"]
+    has_right, has_left = params["has_right"], params["has_left"]
+    nq = params["num_q_blocks"]
+    g = params.get("group", 1)
+    if g > 1:
+        gi = j_inner % g
+        iq = j_inner // g
+        qh_idx = h_idx * g + gi
+    else:
+        gi = 0
+        iq = j_inner
+        qh_idx = h_idx
+    num_heads = params.get("num_heads", pl.num_programs(1))
+
+    @pl.when(j_inner == 0)
+    def _init():
+        dk_scr[...] = jnp.zeros_like(dk_scr)
+        dv_scr[...] = jnp.zeros_like(dv_scr)
+
+    q_start = iq * bq
+    c_start = ikv * bk
+    q_last_real = jnp.minimum(q_start + bq, sq) - 1
+    c_last = c_start + bk - 1
+    c_last_real = jnp.minimum(c_last, sk - 1)
+
+    should_run = jnp.logical_and(q_start < sq, c_start < sk)
+    if has_right:
+        should_run = jnp.logical_and(
+            should_run, c_start <= q_last_real + offset + window[1]
+        )
+    if has_left:
+        should_run = jnp.logical_and(
+            should_run, c_last_real >= q_start + offset - window[0]
+        )
+
+    fully_unmasked = jnp.logical_and(c_last < sk, q_start + bq <= sq)
+    if has_right:
+        fully_unmasked = jnp.logical_and(
+            fully_unmasked, c_last <= q_start + offset + window[1]
+        )
+    if has_left:
+        fully_unmasked = jnp.logical_and(
+            fully_unmasked, c_start >= q_start + bq - 1 + offset - window[0]
+        )
+
+    def body(apply_position_mask):
+        q = q_ref[0, 0]
+        do = do_ref[0, 0]
+        lse = lse_ref[0, 0][:, :1]
+        delta = delta_ref[0, 0][:, :1]
+        rng_block = None
+        if params["dropout_p"] > 0.0:
+            rng_block = (seed_ref[0], b_idx * num_heads + qh_idx)
+        p_dropped, ds, _, q_scaled = _recompute_p_ds(
+            q, k_ref[0, 0], v_ref[0, 0], do, lse, delta,
+            None, None, None,
+            sm_scale=params["sm_scale"], softcap=params["softcap"],
+            dropout_p=params["dropout_p"], rng_block=rng_block,
+            q_start=q_start, c_start=c_start, seqlen_k=sk,
+            has_right=has_right, has_left=has_left, window=window,
+            offset=offset, apply_position_mask=apply_position_mask,
+        )
+        dtype = q.dtype
+        dv_scr[...] += jax.lax.dot_general(
+            p_dropped.astype(dtype), do,
+            (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        )
+        dk_scr[...] += jax.lax.dot_general(
+            ds.astype(dtype), q_scaled,
+            (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        )
+        # dQ partial for this (kv-block, q-block, head); sm_scale applied
+        # once after the outer reduce
+        dq_ref[0, 0, 0] = jax.lax.dot_general(
+            ds.astype(dtype), k_ref[0, 0],
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        )
+
+    needs_branch = (
+        has_right or has_left or (sk % bk != 0) or (sq % bq != 0)
+    )
+    if needs_branch:
+        @pl.when(jnp.logical_and(should_run, fully_unmasked))
+        def _fast():
+            body(False)
+
+        @pl.when(jnp.logical_and(should_run, jnp.logical_not(fully_unmasked)))
+        def _masked():
+            body(True)
+
+        # skipped pairs own their dq partial block: zero it
+        @pl.when(jnp.logical_not(should_run))
+        def _skip():
+            dq_ref[0, 0, 0] = jnp.zeros_like(dq_ref[0, 0, 0])
+    else:
+        @pl.when(should_run)
+        def _run():
+            body(False)
+
+    @pl.when(j_inner == g * nq - 1)
+    def _finish():
+        dk_ref[0, 0] = dk_scr[...]
+        dv_ref[0, 0] = dv_scr[...]
+
+
 def _bwd_dq_kernel(refs, *, params):
     it = iter(refs)
     if params["dropout_p"] > 0.0:
@@ -820,6 +950,99 @@ def flash_attention_bwd(
 
         return fn
 
+    # ---- merged fast path: one kernel for dK/dV/dQ ----------------------
+    # One recompute serves all three grads (5 matmuls/tile vs the split
+    # kernels' 7; +15-20% on v5e). dQ goes through an fp32 partials
+    # workspace (b, h, nkv, sq, d) reduced by XLA — capped so long
+    # sequences fall back to the two-kernel path; features that need the
+    # full scalar-prefetch machinery also fall back.
+    bq0 = min(block_sizes.block_q_dkv, round_up(sq, 128))
+    bk0 = min(block_sizes.block_k_dkv, round_up(sk, 128))
+    nq0 = -(-round_up(sq, bq0) // bq0)
+    nkv0 = -(-round_up(sk, bk0) // bk0)
+    workspace_bytes = b * h * nkv0 * round_up(sq, bq0) * d * 4
+    use_merged = (
+        not has_bias and not has_segments and not has_positions
+        and not has_flashmask and not has_blockmask
+        and workspace_bytes <= 2 * 1024**3
+    )
+    if use_merged:
+        qp = pad_to_block(q, 2, bq0)
+        kp = pad_to_block(k, 2, bk0)
+        vp = pad_to_block(v, 2, bk0)
+        dop = pad_to_block(do, 2, bq0)
+        lsep = pad_to_block(
+            jnp.broadcast_to(lse[..., None], lse.shape + (8,)), 2, bq0
+        )
+        deltap = pad_to_block(
+            jnp.broadcast_to(delta[..., None], delta.shape + (8,)), 2, bq0
+        )
+        sqp0, skp0 = qp.shape[2], kp.shape[2]
+
+        def iq_of(j):
+            return j // g if g > 1 else j
+
+        def qh_of(h_, j):
+            return h_ * g + j % g if g > 1 else h_
+
+        def q_idx(h_, ikv, j):
+            iq = iq_of(j)
+            if has_right:
+                lo = jnp.maximum(
+                    (ikv * bk0 - offset - window_size[1]) // bq0, 0)
+                iq = jnp.maximum(iq, lo)
+            if has_left:
+                hi = (ikv * bk0 + bk0 - 1 - offset + window_size[0]) // bq0
+                iq = jnp.minimum(iq, jnp.maximum(hi, 0))
+            return jnp.clip(iq, 0, nq0 - 1)
+
+        qspec = pl.BlockSpec(
+            (1, 1, bq0, d),
+            lambda b_, h_, ikv, j, *r: (b_, qh_of(h_, j), q_idx(h_, ikv, j), 0))
+        kvspec = pl.BlockSpec(
+            (1, 1, bk0, d), lambda b_, h_, ikv, j, *r: (b_, h_, ikv, 0))
+        statspec = pl.BlockSpec(
+            (1, 1, bq0, 8),
+            lambda b_, h_, ikv, j, *r: (b_, qh_of(h_, j), q_idx(h_, ikv, j), 0))
+        dqspec = pl.BlockSpec(
+            (1, 1, 1, bq0, d),
+            lambda b_, h_, ikv, j, *r: (b_, qh_of(h_, j), ikv, iq_of(j), 0))
+        mparams = dict(
+            group=g, num_heads=h,
+            sm_scale=sm_scale, softcap=softcap, dropout_p=dropout_p,
+            has_right=has_right, has_left=has_left, window=window_size,
+            offset=offset, seqlen_q=sq, seqlen_k=sk,
+            block_q=bq0, block_k=bk0, num_q_blocks=nq0, num_kv_blocks=nkv0,
+        )
+        dqp, dk_m, dv_m = pl.pallas_call(
+            functools.partial(_bwd_merged_entry, params=mparams),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1 if dropout_p > 0.0 else 0,
+                grid=(b, hk, nkv0, nq0 * g),
+                in_specs=[qspec, kvspec, kvspec, qspec, statspec, statspec],
+                out_specs=[dqspec, kvspec, kvspec],
+                scratch_shapes=[
+                    pltpu.VMEM((bk0, d), jnp.float32),
+                    pltpu.VMEM((bk0, d), jnp.float32),
+                ],
+            ),
+            out_shape=[
+                jax.ShapeDtypeStruct((b, h, nkv0, sqp0, d), jnp.float32),
+                jax.ShapeDtypeStruct((b, hk, skp0, d), jnp.float32),
+                jax.ShapeDtypeStruct((b, hk, skp0, d), jnp.float32),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "arbitrary",
+                                     "arbitrary"),
+                vmem_limit_bytes=64 * 2**20,
+            ),
+            interpret=interp,
+        )(*seed_input, qp, kp, vp, dop, lsep, deltap)
+        dq = (dqp.sum(axis=2)[:, :, :sq] * sm_scale).astype(q.dtype)
+        dk = dk_m[:, :, :sk].astype(k.dtype)
+        dv = dv_m[:, :, :sk].astype(v.dtype)
+        return dq, dk, dv, None
+
     # ---- dKV kernel: grid (b, h, kv-block, q-block) ----
     bq1, bk1 = block_sizes.block_q_dkv, block_sizes.block_k_dkv
     bq1 = min(bq1, round_up(sq, 128))
@@ -1003,6 +1226,10 @@ def flash_attention_bwd(
 
 def _bwd_dkv_entry(*refs, params):
     _bwd_dkv_kernel(refs, params=params)
+
+
+def _bwd_merged_entry(*refs, params):
+    _bwd_merged_kernel(refs, params=params)
 
 
 def _bwd_dq_entry(*refs, params):
