@@ -560,3 +560,63 @@ def test_return_attn_probs_s_dmask():
     )
     err = np.max(np.abs(np.asarray(out, np.float32) - np.asarray(ref_drop)))
     assert err < 5e-2, err
+
+
+@pytest.mark.parametrize("causal", [False, True])
+@pytest.mark.parametrize("dropout_p", [0.0, 0.2])
+def test_flash_attn_merged_bwd_small_blocks(causal, dropout_p):
+    """Force multiple KV blocks (small tiles) so the MERGED single-pass
+    backward fast path runs (default tiles cover test seqlens in one
+    block, which takes the split path): grads must match the reference
+    contract, incl. GQA and dropout."""
+    from xhy_flash_attention_tpu import flash_attention
+    from xhy_flash_attention_tpu.ops.flash_attention.common import (
+        BlockSizes, dropout_keep_mask,
+    )
+
+    b, s, h, hk, d = 2, 384, 4, 2, 64
+    bs = BlockSizes(block_q=128, block_k=128, block_q_dkv=128,
+                    block_k_dkv=128, block_q_dq=128, block_k_dq=128)
+    keys = jax.random.split(jax.random.PRNGKey(15), 4)
+    q = _rand(keys[0], (b, s, h, d), jnp.bfloat16)
+    k = _rand(keys[1], (b, s, hk, d), jnp.bfloat16)
+    v = _rand(keys[2], (b, s, hk, d), jnp.bfloat16)
+    do = _rand(keys[3], (b, s, h, d), jnp.bfloat16)
+    seed = 99
+
+    def f(q, k, v):
+        qt, kt, vt = (jnp.swapaxes(x, 1, 2) for x in (q, k, v))
+        return jnp.swapaxes(flash_attention(
+            qt, kt, vt, causal=causal, dropout_p=dropout_p,
+            dropout_seed=seed if dropout_p > 0 else None, block_sizes=bs,
+        ), 1, 2)
+
+    out, vjp = jax.vjp(f, q, k, v)
+    dq, dk, dv = vjp(do)
+    keep = None
+    if dropout_p > 0:
+        rows = jnp.arange(s, dtype=jnp.int32)[:, None]
+        cols = jnp.arange(s, dtype=jnp.int32)[None, :]
+        keep = jnp.stack([
+            jnp.stack([
+                dropout_keep_mask(jnp.int32(seed), jnp.int32(bi * h + hi),
+                                  rows, cols, dropout_p)
+                for hi in range(h)
+            ]) for bi in range(b)
+        ])
+    ref_f = lambda q, k, v: attention_ref(
+        q, k, v, causal=causal, dropout_p=dropout_p, dropout_mask=keep,
+        upcast=True,
+    )[0]
+    out_ref, vjp_ref = jax.vjp(ref_f, q, k, v)
+    dq_ref, dk_ref, dv_ref = vjp_ref(do)
+    lp_f = lambda q, k, v: attention_ref(
+        q, k, v, causal=causal, dropout_p=dropout_p, dropout_mask=keep,
+        upcast=False, reorder_ops=True,
+    )[0]
+    out_lp, vjp_lp = jax.vjp(lp_f, q, k, v)
+    dq_lp, dk_lp, dv_lp = vjp_lp(do)
+    check_contract(out, out_ref, out_lp, "out")
+    check_contract(dq, dq_ref, dq_lp, "dq")
+    check_contract(dk, dk_ref, dk_lp, "dk")
+    check_contract(dv, dv_ref, dv_lp, "dv")

@@ -965,6 +965,9 @@ def flash_attention_bwd(
         not has_bias and not has_segments and not has_positions
         and not has_flashmask and not has_blockmask
         and workspace_bytes <= 2 * 1024**3
+        # at a single KV block the split path has no duplicate recompute
+        # to save, and the fp32 partial round-trip is a net loss
+        and nkv0 >= 2
     )
     if use_merged:
         qp = pad_to_block(q, 2, bq0)
