@@ -25,6 +25,9 @@ MODELS = {
     "gpt2s": (12, 768, 12, 8, 1024),
     "gpt2m": (24, 1024, 16, 4, 1024),
     "gpt2l": (36, 1280, 20, 4, 1024),
+    # 8k-seqlen variant (≙ reference pile/gpt3s-flash-8k): long-seq
+    # attention dominates; exercises remat + the merged backward
+    "gpt2s-8k": (12, 768, 12, 2, 8192),
 }
 
 

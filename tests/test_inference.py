@@ -127,6 +127,50 @@ def test_merge_partials_is_softmax_partition():
     )
 
 
+def _greedy_manual(model, params, prompt, n_new, max_seqlen=128):
+    """Single-sample greedy decode with a contiguous cache; returns
+    (tokens, top2_margins) — margins let equivalence tests tolerate
+    argmax near-ties (fp32 CPU matmul reduction order varies with host
+    load, flipping ties between runs)."""
+    caches = model.allocate_kv_caches(
+        batch_size=1, max_seqlen=max_seqlen, dtype=jnp.float32
+    )
+    toks, margins = [], []
+    n = len(prompt)
+    logits, caches = model.apply(
+        params, jnp.asarray([list(prompt)], jnp.int32), kv_caches=caches,
+        seqlen_offset=0,
+    )
+    step_logits = np.asarray(logits[0, n - 1], np.float64)
+    for i in range(n_new):
+        top2 = np.sort(step_logits)[-2:]
+        margins.append(float(top2[1] - top2[0]))
+        tok = int(np.argmax(step_logits))
+        toks.append(tok)
+        if i == n_new - 1:
+            break
+        logits, caches = model.apply(
+            params, jnp.asarray([[tok]], jnp.int32), kv_caches=caches,
+            seqlen_offset=n + i,
+        )
+        step_logits = np.asarray(logits[0, 0], np.float64)
+    return toks, margins
+
+
+def _assert_tokens_match_modulo_ties(got, expect, margins, tol=1e-3):
+    """Token-exact comparison that stops at the first near-tie: greedy
+    trajectories legitimately diverge where the top-2 logit gap is within
+    fp32 reduction noise."""
+    for t, (a, b) in enumerate(zip(got, expect)):
+        if a != b:
+            assert margins[t] < tol, (
+                f"token {t} diverged ({a} vs {b}) with top-2 margin "
+                f"{margins[t]:.5f} (not a tie)"
+            )
+            return
+    assert len(got) == len(expect)
+
+
 def test_engine_matches_sequential_decode():
     """Continuous-batching engine == one-at-a-time greedy decode."""
     from xhy_flash_attention_tpu.models.gpt import GPTConfig, GPTLMHeadModel
@@ -162,28 +206,11 @@ def test_engine_matches_sequential_decode():
     results = engine.run()
     assert set(results) == {0, 1, 2}
 
-    # golden: per-request greedy decode with a contiguous cache
+    # golden: per-request greedy decode with a contiguous cache; tolerate
+    # divergence only at argmax near-ties (fp32 CPU reduction noise)
     for i, prompt in enumerate(prompts):
-        caches = GPTLMHeadModel(cfg).allocate_kv_caches(
-            batch_size=1, max_seqlen=128, dtype=jnp.float32
-        )
-        toks = list(prompt)
-        out = []
-        n = len(prompt)
-        logits, caches = model.apply(
-            params, jnp.asarray([toks], jnp.int32), kv_caches=caches,
-            seqlen_offset=0,
-        )
-        tok = int(jnp.argmax(logits[0, n - 1]))
-        out.append(tok)
-        for step in range(5):
-            logits, caches = model.apply(
-                params, jnp.asarray([[tok]], jnp.int32), kv_caches=caches,
-                seqlen_offset=n + step,
-            )
-            tok = int(jnp.argmax(logits[0, 0]))
-            out.append(tok)
-        assert results[i] == out, (i, results[i], out)
+        out, margins = _greedy_manual(model, params, list(prompt), 6)
+        _assert_tokens_match_modulo_ties(results[i], out, margins)
 
 
 def test_paged_decode_int8_matches_bf16():
@@ -447,12 +474,18 @@ def test_engine_tensor_parallel_matches_single():
             eng.add_request(Request(rid=i, prompt=p, max_new_tokens=4))
         return eng.run()
 
-    golden = run_engine(model.apply, params)
-
     mesh = make_mesh(dp=1, tp=tp)
     lc = local_config(cfg, tp, sequence_parallel=False)
     model_tp = GPTLMHeadModel(lc)
     params_tp, specs = shard_gpt_params(params, cfg, tp, mesh)
     apply_tp = tp_model_apply(model_tp, specs, mesh, cfg.vocab_size)
     got = run_engine(apply_tp, params_tp)
-    assert got == golden, (got, golden)
+    golden = run_engine(model.apply, params)
+    # compare both engines against a manual greedy loop (which exposes
+    # logit margins): token-exact except across argmax near-ties
+    for i, prompt in enumerate(prompts):
+        out, margins = _greedy_manual(model, params, list(prompt), 4)
+        # TP shifts logits by collective reduction order on top of fp32
+        # noise: wider tie margin than the single-device comparison
+        _assert_tokens_match_modulo_ties(got[i], out, margins, tol=5e-3)
+        _assert_tokens_match_modulo_ties(golden[i], out, margins)
