@@ -26,7 +26,7 @@ def test_capi_end_to_end():
                + env.get("PYTHONPATH", ""))
     out = subprocess.run(
         [str(CAPI / "test_capi")], cwd=CAPI, env=env,
-        capture_output=True, text=True, timeout=600,
+        capture_output=True, text=True, timeout=1800,
     )
     assert out.returncode == 0, out.stdout + out.stderr
     assert "attention ok" in out.stdout
