@@ -27,7 +27,8 @@ def _ref(q, k, v, dense_mask, causal, upcast=True):
 
 @pytest.mark.parametrize("causal", [False, True])
 @pytest.mark.parametrize("seqlen", [256, 384])
-def test_blocksparse_fwd_bwd(causal, seqlen):
+@pytest.mark.parametrize("bm_heads", [1, 4])
+def test_blocksparse_fwd_bwd(causal, seqlen, bm_heads):
     rng = np.random.default_rng(0)
     b, h, d, g = 2, 4, 64, 128
     q, k, v = (
@@ -35,7 +36,7 @@ def test_blocksparse_fwd_bwd(causal, seqlen):
         for _ in range(3)
     )
     nq = nk = -(-seqlen // g)
-    bm = jnp.asarray(rng.integers(0, 2, (1, 1, nq, nk)), jnp.int32)
+    bm = jnp.asarray(rng.integers(0, 2, (1, bm_heads, nq, nk)), jnp.int32)
     # keep the diagonal on so no row is fully masked
     bm = jnp.maximum(bm, jnp.eye(nq, nk, dtype=jnp.int32)[None, None])
 

@@ -10,16 +10,22 @@ TPU-native re-design of the reference recompute-based backward
   into two clean kernels with independent tilings (the design space the
   reference exposes as its two parallelization modes,
   flash_bwd_launch_template.h:50,91):
-    - dKV kernel: grid (batch, q-head, kv-block, q-block), dK/dV accumulated
-      in VMEM scratch across the inner q-block loop;
-    - dQ kernel: grid (batch, q-head, q-block, kv-block), dQ accumulated in
-      VMEM scratch across the inner kv-block loop.
+    - merged fast path (plain/causal/window shapes): ONE kernel computes
+      dK/dV in VMEM scratch and dQ by accumulating partial products into an
+      HBM dQ block revisited across the sequential kv axis — 5 matmuls per
+      tile instead of the split path's 7;
+    - split fallback (bias/segments/positions/flashmask/blocksparse):
+      dKV kernel grid (batch, kv-head, kv-block, q-block) with the GQA group
+      accumulated in VMEM, plus a dQ kernel grid
+      (batch, q-head, q-block, kv-block) with dQ in VMEM scratch.
 * `dot_do_o` preprocess (flash_bwd_kernel.h:78) is a one-line XLA reduction —
   delta = sum(o * do, -1) — which XLA fuses; no dedicated kernel needed.
 * both kernels recompute p = exp(s - lse) from the saved LSE, exactly like
   the reference (5 matmuls per tile: QK^T, dO V^T, dS^T Q, dS K, P^T dO).
-* GQA: dK/dV are produced per *query* head and reduced over the group outside
-  the kernel in fp32 (the reference instead loops the group inside the CTA).
+* GQA: the dKV grid runs over *KV* heads and the kernel loops the query-head
+  group, accumulating dK/dV in VMEM scratch (same shape as the reference's
+  in-CTA group loop; 1/g the dK/dV HBM write traffic of a per-query-head
+  grid). The dQ grid stays per query head.
 * determinism is structural: no atomics anywhere, so the reference's
   race-condition test (tests/test_flash_attn.py:798) becomes bitwise equality
   for dQ as well as dK/dV.
@@ -51,6 +57,13 @@ from .common import (
 )
 
 MIN_LANES = 128
+
+# Largest persistent VMEM dq accumulator the merged backward will allocate
+# (g * sq_padded * d * 4 bytes); larger shapes use the fp32 HBM partials
+# workspace instead (and beyond its own 2 GiB cap, the split two-kernel
+# path). 40 MiB leaves room for the streaming tiles under the ~100 MiB
+# usable VMEM on v5e.
+MERGED_DQ_SCRATCH_CAP = 40 * 2**20
 
 
 def _recompute_p_ds(
@@ -361,12 +374,17 @@ def _bwd_dkv_kernel(refs, *, params):
 
 def _bwd_merged_kernel(refs, *, params):
     """Single-pass backward (fast path): dK/dV accumulate in VMEM over the
-    inner (group, q-block) axis while each (kv-block, q-block) pair writes
-    its dQ partial to an fp32 HBM workspace, reduced outside — the
-    reference's dq_accum workspace (flash_bwd_kernel.h:427 + convert_dQ)
-    without atomics. One recompute serves all three gradients: 5 matmuls
-    per tile vs the split kernels' 7 (measured on v5e: causal 78->90,
-    non-causal 117->140 TFLOP/s)."""
+    inner (group, q-block) axis; dQ accumulates across the sequential
+    kv axis in a persistent VMEM scratch covering all (group, q-block)
+    slices, written to an fp32 (b, h, sq, d) output only during the final
+    kv sweep — the reference's O(b*h*sq*d) dq_accum workspace
+    (flash_bwd_kernel.h:427 + convert_dQ) with VMEM residency instead of
+    atomics. One recompute serves all three gradients: 5 matmuls per tile
+    vs the split kernels' 7 (measured on v5e: causal 78->90, non-causal
+    117->140 TFLOP/s with the old partials workspace; the scratch variant
+    removes the partials' HBM round-trip entirely). Shapes whose dq
+    scratch would not fit VMEM fall back to the old per-(kv,q)-pair fp32
+    partials workspace (dq_in_scratch=False), reduced by XLA outside."""
     it = iter(refs)
     if params["dropout_p"] > 0.0:
         seed_ref = next(it)
@@ -378,6 +396,8 @@ def _bwd_merged_kernel(refs, *, params):
     dv_ref = next(it)
     dk_scr = next(it)
     dv_scr = next(it)
+    dq_in_scratch = params.get("dq_in_scratch", False)
+    dq_scr = next(it) if dq_in_scratch else None
 
     b_idx, h_idx = pl.program_id(0), pl.program_id(1)
     ikv, j_inner = pl.program_id(2), pl.program_id(3)
@@ -402,6 +422,15 @@ def _bwd_merged_kernel(refs, *, params):
     def _init():
         dk_scr[...] = jnp.zeros_like(dk_scr)
         dv_scr[...] = jnp.zeros_like(dv_scr)
+
+    if dq_in_scratch:
+        # each (group, q-block) cell owns its dq slice: zero it on the
+        # first kv sweep (unconditionally — skipped pairs too)
+        @pl.when(ikv == 0)
+        def _init_dq():
+            dq_scr[j_inner] = jnp.zeros(
+                (params["block_q"], dq_scr.shape[-1]), jnp.float32
+            )
 
     q_start = iq * bq
     c_start = ikv * bk
@@ -456,11 +485,15 @@ def _bwd_merged_kernel(refs, *, params):
             (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
         )
         # dQ partial for this (kv-block, q-block, head); sm_scale applied
-        # once after the outer reduce
-        dq_ref[0, 0, 0] = jax.lax.dot_general(
+        # once at the end
+        dq_partial = jax.lax.dot_general(
             ds.astype(dtype), k_ref[0, 0],
             (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
         )
+        if dq_in_scratch:
+            dq_scr[j_inner] += dq_partial
+        else:
+            dq_ref[0, 0, 0] = dq_partial
 
     needs_branch = (
         has_right or has_left or (sk % bk != 0) or (sq % bq != 0)
@@ -474,14 +507,25 @@ def _bwd_merged_kernel(refs, *, params):
         def _masked():
             body(True)
 
-        # skipped pairs own their dq partial block: zero it
-        @pl.when(jnp.logical_not(should_run))
-        def _skip():
-            dq_ref[0, 0, 0] = jnp.zeros_like(dq_ref[0, 0, 0])
+        if not dq_in_scratch:
+            # skipped pairs own their dq partial block: zero it
+            @pl.when(jnp.logical_not(should_run))
+            def _skip():
+                dq_ref[0, 0, 0] = jnp.zeros_like(dq_ref[0, 0, 0])
     else:
         @pl.when(should_run)
         def _run():
             body(False)
+
+    if dq_in_scratch:
+        # the dq output block is only addressed (by the out spec's index
+        # clamp) during the final kv sweep; earlier sweeps never change
+        # the out index, so no dead writebacks occur
+        nkv = params["num_kv_blocks"]
+
+        @pl.when(ikv == nkv - 1)
+        def _emit_dq():
+            dq_ref[0, 0] = dq_scr[j_inner]
 
     @pl.when(j_inner == g * nq - 1)
     def _finish():
@@ -574,7 +618,9 @@ def _bwd_dq_kernel(refs, *, params):
 
     if has_blockmask:
         bm_heads = params["bm_heads"]
-        bm_idx = qh_idx // (num_heads // bm_heads) if bm_heads > 1 else 0
+        # The dQ grid's head axis IS the query head (no GQA group loop here),
+        # so the per-head mask index derives from h_idx directly.
+        bm_idx = h_idx // (pl.num_programs(1) // bm_heads) if bm_heads > 1 else 0
         bbase = ((b_idx * bm_heads + bm_idx) * params["num_q_blocks"] + iq) \
             * params["num_kv_blocks"]
         should_run = jnp.logical_and(should_run, bm_ref[bbase + ikv] != 0)
@@ -952,21 +998,26 @@ def flash_attention_bwd(
 
     # ---- merged fast path: one kernel for dK/dV/dQ ----------------------
     # One recompute serves all three grads (5 matmuls/tile vs the split
-    # kernels' 7; +15-20% on v5e). dQ goes through an fp32 partials
-    # workspace (b, h, nkv, sq, d) reduced by XLA — capped so long
-    # sequences fall back to the two-kernel path; features that need the
-    # full scalar-prefetch machinery also fall back.
+    # kernels' 7; +15-20% on v5e). dQ accumulates in a persistent VMEM
+    # scratch sized (g * sq_padded, d) fp32, emitted once in the final kv
+    # sweep; shapes whose scratch would blow VMEM fall back to the fp32
+    # per-(kv,q)-pair partials workspace (b, h, nkv, sq, d) reduced by
+    # XLA, itself capped so huge shapes take the two-kernel path;
+    # features that need the full scalar-prefetch machinery also fall
+    # back to the two-kernel path.
     bq0 = min(block_sizes.block_q_dkv, round_up(sq, 128))
     bk0 = min(block_sizes.block_k_dkv, round_up(sk, 128))
     nq0 = -(-round_up(sq, bq0) // bq0)
     nkv0 = -(-round_up(sk, bk0) // bk0)
+    dq_scratch_bytes = g * nq0 * bq0 * d * 4
+    dq_in_scratch = dq_scratch_bytes <= MERGED_DQ_SCRATCH_CAP
     workspace_bytes = b * h * nkv0 * round_up(sq, bq0) * d * 4
     use_merged = (
         not has_bias and not has_segments and not has_positions
         and not has_flashmask and not has_blockmask
-        and workspace_bytes <= 2 * 1024**3
+        and (dq_in_scratch or workspace_bytes <= 2 * 1024**3)
         # at a single KV block the split path has no duplicate recompute
-        # to save, and the fp32 partial round-trip is a net loss
+        # to save, and the fp32 dq round-trip is a net loss
         and nkv0 >= 2
     )
     if use_merged:
@@ -1007,11 +1058,28 @@ def flash_attention_bwd(
         statspec = pl.BlockSpec(
             (1, 1, bq0, 8),
             lambda b_, h_, ikv, j, *r: (b_, qh_of(h_, j), q_idx(h_, ikv, j), 0))
-        dqspec = pl.BlockSpec(
-            (1, 1, 1, bq0, d),
-            lambda b_, h_, ikv, j, *r: (b_, qh_of(h_, j), ikv, iq_of(j), 0))
+        if dq_in_scratch:
+            # dq is only addressed during the final kv sweep; clamp the
+            # out index to a constant on earlier sweeps so revisiting
+            # never triggers a writeback of the untouched buffer
+            def dq_idx(b_, h_, ikv, j, *r):
+                last = ikv == nkv0 - 1
+                return (b_, jnp.where(last, qh_of(h_, j), h_ * g),
+                        jnp.where(last, iq_of(j), 0), 0)
+
+            dqspec = pl.BlockSpec((1, 1, bq0, d), dq_idx)
+            dq_shape = jax.ShapeDtypeStruct((b, h, sqp0, d), jnp.float32)
+            dq_scratch = [pltpu.VMEM((nq0 * g, bq0, d), jnp.float32)]
+        else:
+            dqspec = pl.BlockSpec(
+                (1, 1, 1, bq0, d),
+                lambda b_, h_, ikv, j, *r: (b_, qh_of(h_, j), ikv,
+                                            iq_of(j), 0))
+            dq_shape = jax.ShapeDtypeStruct((b, h, nkv0, sqp0, d),
+                                            jnp.float32)
+            dq_scratch = []
         mparams = dict(
-            group=g, num_heads=h,
+            group=g, num_heads=h, dq_in_scratch=dq_in_scratch,
             sm_scale=sm_scale, softcap=softcap, dropout_p=dropout_p,
             has_right=has_right, has_left=has_left, window=window_size,
             offset=offset, seqlen_q=sq, seqlen_k=sk,
@@ -1027,21 +1095,27 @@ def flash_attention_bwd(
                 scratch_shapes=[
                     pltpu.VMEM((bk0, d), jnp.float32),
                     pltpu.VMEM((bk0, d), jnp.float32),
-                ],
+                ] + dq_scratch,
             ),
             out_shape=[
-                jax.ShapeDtypeStruct((b, h, nkv0, sqp0, d), jnp.float32),
+                dq_shape,
                 jax.ShapeDtypeStruct((b, hk, skp0, d), jnp.float32),
                 jax.ShapeDtypeStruct((b, hk, skp0, d), jnp.float32),
             ],
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("parallel", "parallel", "arbitrary",
                                      "arbitrary"),
-                vmem_limit_bytes=64 * 2**20,
+                vmem_limit_bytes=max(
+                    64 * 2**20,
+                    dq_scratch_bytes + 32 * 2**20 if dq_in_scratch else 0,
+                ),
             ),
             interpret=interp,
         )(*seed_input, qp, kp, vp, dop, lsep, deltap)
-        dq = (dqp.sum(axis=2)[:, :, :sq] * sm_scale).astype(q.dtype)
+        if dq_in_scratch:
+            dq = (dqp[:, :, :sq] * sm_scale).astype(q.dtype)
+        else:
+            dq = (dqp.sum(axis=2)[:, :, :sq] * sm_scale).astype(q.dtype)
         dk = dk_m[:, :, :sk].astype(k.dtype)
         dv = dv_m[:, :, :sk].astype(v.dtype)
         return dq, dk, dv, None
