@@ -156,6 +156,33 @@ def test_train_mesh_dp_tp(token_file, tmp_path):
         assert not dp_sharded(leaf)
 
 
+def test_train_mesh_zero2_matches_zero1(token_file, tmp_path):
+    """ZeRO-2 (reduce-scattered grads) must train to the same params as
+    ZeRO-1 (all-reduced grads) — the sharding changes dataflow, not math —
+    and the grads it feeds the optimizer must actually be dp-sharded
+    (≙ reference ddp_zero2.py grad sharding)."""
+
+    def run(stage):
+        cfg = _tiny_cfg(token_file, str(tmp_path / f"z{stage}"), max_steps=3)
+        cfg.data = DataConfig(path=token_file, seqlen=128, batch_size=4)
+        cfg = TrainConfig(**{**cfg.__dict__, "mesh": (2, 4),
+                             "sequence_parallel": True,
+                             "zero_stage": stage})
+        t = Trainer(cfg)
+        t.init_params()
+        loss = t.fit(max_steps=3, log=lambda *_: None)
+        assert np.isfinite(loss)
+        return t
+
+    t1 = run(1)
+    t2 = run(2)
+    for a, b in zip(jax.tree.leaves(jax.device_get(t1.params)),
+                    jax.tree.leaves(jax.device_get(t2.params))):
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(b, np.float32),
+                                   atol=1e-5, rtol=1e-5)
+
+
 def test_load_config_interpolation(tmp_path):
     from xhy_flash_attention_tpu.training.config import load_config
 

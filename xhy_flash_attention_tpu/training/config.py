@@ -65,6 +65,10 @@ class TrainConfig:
     # mesh axes (dp, tp); (1, 1) = single chip
     mesh: Tuple[int, int] = (1, 1)
     sequence_parallel: bool = False
+    # optimizer-state partitioning over dp (≙ reference ddp_zero1/ddp_zero2):
+    # 1 = dp-sharded Adam moments; 2 = additionally reduce-scatter grads
+    # onto the moment shards instead of all-reducing them
+    zero_stage: int = 1
 
 
 _RESOLVERS = {

@@ -64,6 +64,25 @@ def _zero1_moment_specs(specs, params, dp: int):
     )
 
 
+def _zero2_scatter(grads, specs, zspecs, dp: int):
+    """ZeRO-2 gradient reduce-scatter (≙ reference ddp_zero2.py:26-133 —
+    apex DistributedFusedAdam shards the grad reduction): inside shard_map,
+    reduce each grad over dp directly onto the dp shard its moment lives
+    on, instead of all-reducing (pmean) a replicated copy. Leaves whose
+    moment spec gained no 'dp' dim (small/indivisible) fall back to pmean."""
+
+    def one(g, spec, zspec):
+        s = list(spec) + [None] * (g.ndim - len(spec))
+        z = list(zspec) + [None] * (g.ndim - len(zspec))
+        dim = next((i for i in range(g.ndim) if s[i] != z[i]), None)
+        if dim is None:
+            return jax.lax.pmean(g, "dp")
+        return jax.lax.psum_scatter(
+            g, "dp", scatter_dimension=dim, tiled=True) / dp
+
+    return jax.tree.map(one, grads, specs, zspecs)
+
+
 def _map_param_subtrees(f, opt_state, params):
     """Apply f to every subtree of opt_state congruent to the params tree
     (optax moment trees: Adam mu/nu, EMA, ...), leaving scalars (count)
@@ -178,6 +197,13 @@ class Trainer:
             self.opt_state = _map_param_subtrees(
                 place, self.opt_state, self.params
             )
+        # ZeRO-2 (≙ ddp_zero2.py DistributedFusedAdam grad sharding):
+        # grads are reduce-scattered over dp onto the moment shards
+        # instead of all-reduced, so each dp rank materializes only 1/dp
+        # of the gradient; XLA all-gathers the (sharded) updates back
+        # into the replicated params at apply_updates.
+        zero2 = dp > 1 and getattr(self.cfg, "zero_stage", 1) >= 2
+        zspecs = self._zero1_specs
 
         def local_grads(p, ids, labels):
             def local_loss(p):
@@ -192,14 +218,17 @@ class Trainer:
 
             loss, grads = jax.value_and_grad(local_loss)(p)
             loss = jax.lax.pmean(loss, "dp")
-            grads = jax.tree.map(lambda g: jax.lax.pmean(g, "dp"), grads)
+            if zero2:
+                grads = _zero2_scatter(grads, specs, zspecs, dp)
+            else:
+                grads = jax.tree.map(lambda g: jax.lax.pmean(g, "dp"), grads)
             return loss, grads
 
         grad_fn = shard_map(
             local_grads,
             mesh=self.mesh,
             in_specs=(specs, P("dp", None), P("dp", None)),
-            out_specs=(P(), specs),
+            out_specs=(P(), zspecs if zero2 else specs),
             check_vma=False,
         )
 
