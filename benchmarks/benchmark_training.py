@@ -88,11 +88,16 @@ def run(name="gpt2s", remat=False, steps=8):
     dt = ((t2 - t1) - (t1 - t0)) / (steps - 1)
     toks = B * S / dt
     fpt = gpt_flops_per_token(L, H, S, cfg.padded_vocab_size)
-    if remat:
-        fpt *= 4.0 / 3.0  # recompute adds ~one forward
+    # Model-FLOPs MFU: counts only the model's own fwd+bwd FLOPs —
+    # rematerialized recompute is NOT credited (apples-to-apples with the
+    # reference's 60.6-72% figures, BASELINE.md:13-14). The hardware
+    # utilization including recompute (x4/3 under full remat) is reported
+    # alongside for roofline context, never as the headline.
     mfu = toks * fpt / _chip_peak_flops()
+    hw_util = mfu * (4.0 / 3.0 if remat else 1.0)
     print(f"{name} remat={remat}: {toks:,.0f} tokens/s, "
-          f"{toks * fpt / 1e12:.1f} TFLOP/s, MFU {mfu:.1%}")
+          f"{toks * fpt / 1e12:.1f} TFLOP/s, model-FLOPs MFU {mfu:.1%}"
+          + (f" (hw util incl. recompute {hw_util:.1%})" if remat else ""))
     return toks, mfu
 
 

@@ -69,3 +69,38 @@ def test_decode_sliding_window():
     out_x = _decode_attention_xla(q, kc, vc, lengths, d**-0.5,
                                   window_size=(w, 0))
     assert jnp.allclose(out_k, out_x, atol=2e-5)
+
+
+@pytest.mark.parametrize("sq", [1, 2])
+def test_decode_kv_batch_idx_and_leftpad(sq):
+    """FA3 long-tail cache params (≙ flash_api.h:100-150): per-query-batch
+    cache-row remap (beam fan-out) and per-batch left padding. Reference =
+    slicing the effective K/V into a contiguous per-query cache."""
+    b, bc, hk, g, d, S = 3, 2, 2, 2, 64, 1024
+    h = hk * g
+    keys = jax.random.split(jax.random.PRNGKey(5), 3)
+    q = jax.random.normal(keys[0], (b, sq, h, d), jnp.float32)
+    kc = jax.random.normal(keys[1], (bc, hk, S, d), jnp.float32)
+    vc = jax.random.normal(keys[2], (bc, hk, S, d), jnp.float32)
+    kv_batch_idx = jnp.asarray([0, 1, 1], jnp.int32)  # beam 1+2 share row 1
+    leftpad = jnp.asarray([64, 0, 300], jnp.int32)
+    lengths = jnp.asarray([500, 257, 700], jnp.int32)
+    scale = d ** -0.5
+
+    out_k = flash_decode(q, kc, vc, lengths, softmax_scale=scale,
+                         kv_batch_idx=kv_batch_idx, leftpad_k=leftpad,
+                         block_k=256)
+
+    # reference: materialize each query's effective contiguous cache
+    kg = jnp.stack([
+        jnp.roll(kc[kv_batch_idx[i]], -int(leftpad[i]), axis=1)
+        for i in range(b)
+    ])
+    vg = jnp.stack([
+        jnp.roll(vc[kv_batch_idx[i]], -int(leftpad[i]), axis=1)
+        for i in range(b)
+    ])
+    out_x = _decode_attention_xla(q, kg, vg, lengths, scale)
+    assert jnp.allclose(out_k, out_x, atol=2e-5), (
+        float(jnp.abs(out_k - out_x).max())
+    )

@@ -30,4 +30,9 @@ def test_capi_end_to_end():
     )
     assert out.returncode == 0, out.stdout + out.stderr
     assert "attention ok" in out.stdout
+    for marker in ("typed fwd ok", "lse ok", "flashmask fwd ok",
+                   "typed bwd dq ok", "typed bwd dbias ok",
+                   "varlen fwd ok", "varlen bwd dq ok",
+                   "reduced scores ok"):
+        assert marker in out.stdout, marker
     assert "generate ok" in out.stdout

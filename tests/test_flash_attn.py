@@ -443,6 +443,59 @@ def test_flash_attn_bias_gqa(bias_kind):
                    "dbias")
 
 
+def test_flash_attn_bias_broadcast_dropout():
+    """Batch-broadcast trained bias streams the backward batch (chunked
+    dbias accumulation): the per-chunk dropout salts must stay aligned
+    with the unchunked forward — grads match the reference driven by the
+    kernel's own keep mask."""
+    from xhy_flash_attention_tpu import flash_attention
+    from xhy_flash_attention_tpu.ops.flash_attention.common import (
+        dropout_keep_mask,
+    )
+
+    b, s, h, d, p_drop, seed = 3, 256, 2, 64, 0.2, 7
+    keys = jax.random.split(jax.random.PRNGKey(21), 5)
+    q = _rand(keys[0], (b, s, h, d), jnp.bfloat16)
+    k = _rand(keys[1], (b, s, h, d), jnp.bfloat16)
+    v = _rand(keys[2], (b, s, h, d), jnp.bfloat16)
+    do = _rand(keys[3], (b, s, h, d), jnp.bfloat16)
+    bias = _rand(keys[4], (1, h, s, s), jnp.float32)
+
+    def f(q, k, v, bias):
+        qt, kt, vt = (jnp.swapaxes(x, 1, 2) for x in (q, k, v))
+        return jnp.swapaxes(flash_attention(
+            qt, kt, vt, bias, causal=True, dropout_p=p_drop,
+            dropout_seed=seed), 1, 2)
+    out, vjp = jax.vjp(f, q, k, v, bias)
+    dq, dk, dv, dbias = vjp(do)
+    assert dbias.shape == (1, h, s, s)
+
+    rows = jnp.arange(s, dtype=jnp.int32)[:, None]
+    cols = jnp.arange(s, dtype=jnp.int32)[None, :]
+    keep = jnp.stack([
+        jnp.stack([
+            dropout_keep_mask(jnp.int32(seed), jnp.int32(bi * h + hi),
+                              rows, cols, p_drop)
+            for hi in range(h)
+        ]) for bi in range(b)
+    ])
+
+    def mk_ref(upcast):
+        return lambda q, k, v, bias: attention_ref(
+            q, k, v, attn_bias=bias, causal=True, dropout_p=p_drop,
+            dropout_mask=keep, upcast=upcast, reorder_ops=not upcast,
+        )[0]
+
+    out_ref, vjp_ref = jax.vjp(mk_ref(True), q, k, v, bias)
+    grads_ref = vjp_ref(do)
+    out_lp, vjp_lp = jax.vjp(mk_ref(False), q, k, v, bias)
+    grads_lp = vjp_lp(do)
+    check_contract(out, out_ref, out_lp, "out")
+    for g, gr, gl, name in zip((dq, dk, dv, dbias), grads_ref, grads_lp,
+                               ("dq", "dk", "dv", "dbias")):
+        check_contract(g, gr, gl, name)
+
+
 # Head-dim x seqlen breadth sweep (≙ reference tests/test_flash_attn.py:
 # 333-345 which sweeps d in 32..256 incl. 59/111 and odd seqlens). Kept to
 # a representative product so the suite stays runnable in interpret mode;

@@ -213,6 +213,48 @@ def test_engine_matches_sequential_decode():
         _assert_tokens_match_modulo_ties(results[i], out, margins)
 
 
+def test_engine_chunked_prefill_admission():
+    """Chunked-prefill admission (prompts longer than prefill_chunk enter
+    in chunk-sized pieces interleaved with decode) must produce the same
+    greedy tokens as the whole-prompt engine, including while another
+    request is mid-decode."""
+    from xhy_flash_attention_tpu.models.gpt import GPTConfig, GPTLMHeadModel
+
+    cfg = GPTConfig(
+        vocab_size=128, hidden_size=64, num_hidden_layers=2,
+        num_attention_heads=4, num_attention_heads_kv=2,
+        intermediate_size=128, max_position_embeddings=0,
+        rotary_emb_fraction=1.0, rms_norm=True,
+        activation_function="swiglu", tie_word_embeddings=False,
+        qkv_proj_bias=False, out_proj_bias=False,
+        mlp_fc1_bias=False, mlp_fc2_bias=False, dtype=jnp.float32,
+    )
+    model = GPTLMHeadModel(cfg)
+    rng = np.random.default_rng(3)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 8), jnp.int32))
+    hk = cfg.num_attention_heads_kv
+    d = cfg.hidden_size // cfg.num_attention_heads
+
+    engine = InferenceEngine(
+        model.apply, params,
+        num_layers=cfg.num_hidden_layers, num_kv_heads=hk, head_dim=d,
+        num_pages=64, page_size=128, max_batch=4, max_pages_per_seq=4,
+        dtype=jnp.float32, prefill_chunk=64,
+    )
+    # short prompt admits one-shot and decodes while the long prompt (3
+    # chunks of 64) prefills chunk-by-chunk
+    short = rng.integers(0, cfg.vocab_size, (5,)).astype(np.int32)
+    longp = rng.integers(0, cfg.vocab_size, (150,)).astype(np.int32)
+    engine.add_request(Request(rid=0, prompt=short, max_new_tokens=6))
+    engine.add_request(Request(rid=1, prompt=longp, max_new_tokens=6))
+    results = engine.run()
+    assert set(results) == {0, 1}
+    for rid, prompt in ((0, short), (1, longp)):
+        out, margins = _greedy_manual(model, params, list(prompt), 6,
+                                      max_seqlen=256)
+        _assert_tokens_match_modulo_ties(results[rid], out, margins)
+
+
 def test_paged_decode_int8_matches_bf16():
     """INT8 paged cache decodes close to the float cache (dequant fused)."""
     rng = np.random.default_rng(5)

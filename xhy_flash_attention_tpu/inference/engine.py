@@ -100,6 +100,7 @@ class Request:
     output: List[int] = dataclasses.field(default_factory=list)
     slot: int = -1
     pages: List[int] = dataclasses.field(default_factory=list)
+    prefill_pos: int = 0                # prompt tokens already in cache
 
 
 def _bucket(n: int, buckets=(32, 64, 128, 256, 512, 1024, 2048, 4096)) -> int:
@@ -129,12 +130,21 @@ class InferenceEngine:
         max_batch: int = 8,
         max_pages_per_seq: int = 32,
         dtype=jnp.bfloat16,
+        # chunked-prefill admission (≙ FA3 chunked prefill / vLLM-style
+        # latency bounding): prompts longer than this prefill in
+        # `prefill_chunk`-token pieces interleaved with decode steps, so
+        # one long admit never stalls the running batch for a full-prompt
+        # forward. None = whole-prompt bucketed prefill.
+        prefill_chunk: Optional[int] = None,
     ):
         self.model_apply = model_apply
         self.params = params
         self.page_size = page_size
         self.max_batch = max_batch
         self.max_pages_per_seq = max_pages_per_seq
+        self.prefill_chunk = prefill_chunk
+        self._prefilling: List[Request] = []
+        self._prefill_fns: Dict[int, Callable] = {}
         self.trash_page = num_pages - 1  # sink for inactive-slot appends
         self.caches = []
         for _ in range(num_layers):
@@ -201,13 +211,68 @@ class InferenceEngine:
                 req.slot = i
                 self.slots[i] = req
                 admitted.append(req)
+        # long prompts go through chunked prefill (one chunk per engine
+        # step, interleaved with decode); short ones keep the one-shot
+        # bucketed prefill below
+        direct = []
+        for r in admitted:
+            if (self.prefill_chunk is not None
+                    and len(r.prompt) > self.prefill_chunk):
+                self._lengths[r.slot] = 0
+                self._prefilling.append(r)
+            else:
+                direct.append(r)
         # batch the prefills of requests landing in the same length bucket
         # (one forward per bucket instead of one per request)
         by_bucket = {}
-        for r in admitted:
+        for r in direct:
             by_bucket.setdefault(_bucket(len(r.prompt)), []).append(r)
         for cap, reqs in by_bucket.items():
             self._prefill_batch(reqs, cap)
+
+    def _prefill_chunk_step(self):
+        """Advance every in-prefill request by one `prefill_chunk`-token
+        piece: ONE batched dispatch through the model's paged chunked-
+        prefill path (multi-token append_paged_kv + sq>1 paged decode
+        kernel; modules/mha.py paged branch). Slots not in prefill append
+        garbage beyond their committed host length — harmless: the host
+        length mirror is re-pushed before every dispatch, so the next real
+        append overwrites it and reads never see past `lengths`."""
+        if not self._prefilling:
+            return
+        chunk = self.prefill_chunk
+        ids = np.zeros((self.max_batch, chunk), np.int32)
+        for r in self._prefilling:
+            n = min(chunk, len(r.prompt) - r.prefill_pos)
+            ids[r.slot, :n] = np.asarray(
+                r.prompt[r.prefill_pos:r.prefill_pos + n], np.int32)
+            need_pages = -(-(r.prefill_pos + n) // self.page_size)
+            while len(r.pages) < min(need_pages, self.max_pages_per_seq):
+                self._alloc_page(r)
+        self._sync_caches()
+        fn = self._prefill_fns.get(chunk)
+        if fn is None:
+            apply = self.model_apply
+
+            def pf(params, ids, caches):
+                lengths = caches[0].lengths
+                return apply(params, ids, kv_caches=caches,
+                             seqlen_offset=lengths)
+
+            fn = self._prefill_fns[chunk] = jax.jit(pf)
+        logits, self.caches = fn(self.params, jnp.asarray(ids), self.caches)
+        still = []
+        for r in self._prefilling:
+            n = min(chunk, len(r.prompt) - r.prefill_pos)
+            r.prefill_pos += n
+            self._lengths[r.slot] = r.prefill_pos
+            if r.prefill_pos >= len(r.prompt):
+                tok = self._sample(np.asarray(logits[r.slot, n - 1]), r)
+                r.output.append(tok)
+                self._last_tokens[r.slot] = tok
+            else:
+                still.append(r)
+        self._prefilling = still
 
     # ---- prefill ----------------------------------------------------------
 
@@ -277,10 +342,13 @@ class InferenceEngine:
         return jax.jit(step)
 
     def step(self) -> List[Request]:
-        """Admit waiting requests, run one decode step, return newly
-        finished requests."""
+        """Admit waiting requests, advance chunked prefills by one chunk,
+        run one decode step, return newly finished requests."""
         self._admit()
-        active = [r for r in self.slots if r is not None]
+        self._prefill_chunk_step()
+        prefilling = set(id(r) for r in self._prefilling)
+        active = [r for r in self.slots
+                  if r is not None and id(r) not in prefilling]
         if not active:
             done, self.finished = self.finished, []
             return done

@@ -54,12 +54,17 @@ def _decode_attention_xla(q, k_cache, v_cache, lengths, softmax_scale,
 
 def decode_attention(q, k_cache, v_cache, lengths, softmax_scale,
                      window_size=(-1, -1), softcap: float = 0.0,
-                     use_kernel: Optional[bool] = None):
+                     use_kernel: Optional[bool] = None,
+                     kv_batch_idx=None, leftpad_k=None):
     """q: (b, sq, h, d) new queries; k/v_cache: (b, hk, max_s, d);
     lengths: (b,) valid cache length *including* the new tokens.
 
     Row r of the query attends cache positions <= lengths - sq + r
     (the new keys must already be written into the cache).
+
+    kv_batch_idx/leftpad_k: FA3 long-tail cache params (≙ flash_api.h:
+    100-150) — per-query-batch cache row remap and per-batch left
+    padding of the cache contents; kernel-path only.
     """
     from .quant import QuantizedKV, dequantize_kv
 
@@ -67,12 +72,15 @@ def decode_attention(q, k_cache, v_cache, lengths, softmax_scale,
         use_kernel = k_cache.shape[2] >= 1024 or isinstance(
             k_cache, QuantizedKV
         )
+    if kv_batch_idx is not None or leftpad_k is not None:
+        use_kernel = True
     if use_kernel:
         from .flash_attention.decode_kernel import flash_decode
         return flash_decode(
             q, k_cache, v_cache, lengths,
             softmax_scale=softmax_scale, window_size=window_size,
-            softcap=softcap,
+            softcap=softcap, kv_batch_idx=kv_batch_idx,
+            leftpad_k=leftpad_k,
         )
     if isinstance(k_cache, QuantizedKV):
         k_cache = dequantize_kv(k_cache, q.dtype)

@@ -296,7 +296,7 @@ def _bwd_dkv_kernel(refs, *, params):
         if params["dropout_p"] > 0.0:
             rng_block = (
                 seed_ref[0],
-                b_idx * num_heads + qh_idx,
+                (b_idx + seed_ref[1]) * num_heads + qh_idx,
             )
         p_dropped, ds, ds_raw, q_scaled = _recompute_p_ds(
             q, k_ref[0, 0], v_ref[0, 0], do, lse, delta,
@@ -465,7 +465,8 @@ def _bwd_merged_kernel(refs, *, params):
         delta = delta_ref[0, 0][:, :1]
         rng_block = None
         if params["dropout_p"] > 0.0:
-            rng_block = (seed_ref[0], b_idx * num_heads + qh_idx)
+            rng_block = (seed_ref[0],
+                         (b_idx + seed_ref[1]) * num_heads + qh_idx)
         p_dropped, ds, _, q_scaled = _recompute_p_ds(
             q, k_ref[0, 0], v_ref[0, 0], do, lse, delta,
             None, None, None,
@@ -663,7 +664,7 @@ def _bwd_dq_kernel(refs, *, params):
         if params["dropout_p"] > 0.0:
             rng_block = (
                 seed_ref[0],
-                b_idx * pl.num_programs(1) + h_idx,
+                (b_idx + seed_ref[1]) * pl.num_programs(1) + h_idx,
             )
         _, ds, _, _ = _recompute_p_ds(
             q, k_ref[0, 0], v_ref[0, 0], do_ref[0, 0],
@@ -734,10 +735,15 @@ def flash_attention_bwd(
     block_mask=None,
     q_positions: Optional[jax.Array] = None,
     kv_positions: Optional[jax.Array] = None,
+    _batch_offset=0,
 ):
     """Backward flash attention on (b, h, s, d) tensors.
 
     Returns (dq, dk, dv) with dk/dv reduced over the GQA group (shape of k/v).
+
+    _batch_offset (internal): global batch index of q[0] when the caller
+    streams the batch (batch-broadcast dbias); keeps the dropout salt —
+    (global batch)·H + head — identical to the unchunked forward pass.
     """
     if causal:
         window_size = (window_size[0], 0)
@@ -773,6 +779,51 @@ def flash_attention_bwd(
             bias = bias[None, None]
         elif bias.ndim == 3:
             bias = bias[:, None]
+
+    if has_bias and bias.shape[0] == 1 and b > 1:
+        # Batch-broadcast trained bias: emitting dbias through a
+        # (b, h|hk, sq, sk) fp32 workspace multiplies the O(s²) dbias
+        # memory by b. Stream the batch instead — one backward per batch
+        # element, dbias accumulated across iterations (the reference
+        # reduces into one dbias buffer with atomics,
+        # flash_bwd_kernel.h:1117 dbias path; sequential accumulation is
+        # the TPU equivalent). Peak workspace: (1, h|hk, sq, sk).
+        def one(i):
+            sl = lambda x: jax.lax.dynamic_slice_in_dim(x, i, 1, 0)
+            opt = lambda x: None if x is None else (
+                sl(x) if x.shape[0] > 1 else x)
+            bm = None
+            if block_mask is not None:
+                bmask, gq_, gk_ = block_mask
+                bm = (opt(bmask), gq_, gk_)
+            return flash_attention_bwd(
+                sl(q), sl(k), sl(v), sl(out), sl(lse), sl(do),
+                bias, opt(q_segment_ids), opt(kv_segment_ids),
+                sm_scale=sm_scale, causal=False,
+                window_size=pos_window if has_positions else window_size,
+                softcap=softcap, dropout_p=dropout_p,
+                dropout_seed=dropout_seed, block_sizes=block_sizes,
+                interpret=interpret,
+                flashmask_vecs=opt(flashmask_vecs),
+                flashmask_mode=flashmask_mode, block_mask=bm,
+                q_positions=opt(q_positions),
+                kv_positions=opt(kv_positions),
+                _batch_offset=i,
+            )
+
+        def body_fn(i, carry):
+            dq_a, dk_a, dv_a, db_a = carry
+            dq_c, dk_c, dv_c, db_c = one(i)
+            upd = lambda a, c: jax.lax.dynamic_update_slice_in_dim(
+                a, c, i, 0)
+            return (upd(dq_a, dq_c), upd(dk_a, dk_c), upd(dv_a, dv_c),
+                    db_a + db_c.astype(jnp.float32))
+
+        init = (jnp.zeros(q.shape, q.dtype), jnp.zeros(k.shape, k.dtype),
+                jnp.zeros(v.shape, v.dtype),
+                jnp.zeros(bias.shape, jnp.float32))
+        dq_o, dk_o, dv_o, db_o = jax.lax.fori_loop(0, b, body_fn, init)
+        return dq_o, dk_o, dv_o, db_o.astype(bias.dtype)
 
     interp = interpret_mode() if interpret is None else interpret
 
@@ -866,7 +917,12 @@ def flash_attention_bwd(
     seed_input = []
     if dropout_p > 0.0:
         num_prefetch = 1
-        seed_input = [jnp.asarray(dropout_seed, jnp.int32).reshape((1,))]
+        # [seed, global batch offset] — the offset keeps dropout salts
+        # aligned with the forward pass when the batch is streamed
+        seed_input = [jnp.stack([
+            jnp.asarray(dropout_seed, jnp.int32).reshape(()),
+            jnp.asarray(_batch_offset, jnp.int32).reshape(()),
+        ])]
     if has_flashmask:
         num_prefetch += 1
     if has_blockmask:
@@ -907,11 +963,13 @@ def flash_attention_bwd(
     # Effective-fetch tables kill the HBM traffic of mask-skipped tiles
     # (same scheme as fwd.py; see common.effective_kv_table). The dKV kernel
     # iterates q innermost so it gets an effective-Q table; the dQ kernel an
-    # effective-KV table. Disabled with bias (dbias write pattern) and with
-    # mismatched mask-head counts.
+    # effective-KV table. Safe with bias: the grid still visits every
+    # (q, kv) step and the dbias out-spec indexes by the RAW step — the
+    # table only redirects the input DMA of compute-skipped steps, whose
+    # dbias blocks the kernel zeroes. Disabled only for mismatched
+    # mask-head counts.
     use_eff = (
         (has_flashmask or has_blockmask or has_segments or has_positions)
-        and not has_bias
         and not (has_flashmask and has_blockmask and fm_heads != bm_heads)
     )
     if use_eff:

@@ -39,12 +39,17 @@ MIN_LANES = 128
 
 def _decode_kernel(lens_ref, hi_ref, *refs,
                    sm_scale, softcap, block_k, sq, g, rows_p,
-                   window_left, num_kv_blocks, quantized):
+                   window_left, num_kv_blocks, quantized,
+                   has_kvb=False, has_leftpad=False):
+    it = iter(refs)
+    if has_kvb:
+        next(it)  # kv_batch_idx: consumed by the index maps only
+    lp_ref = next(it) if has_leftpad else None
     if quantized:
         (q_ref, k_ref, ks_ref, v_ref, vs_ref, o_ref,
-         m_scr, l_scr, acc_scr) = refs
+         m_scr, l_scr, acc_scr) = it
     else:
-        q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr = refs
+        q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr = it
         ks_ref = vs_ref = None
     b_idx = pl.program_id(0)
     ikv = pl.program_id(2)
@@ -56,6 +61,11 @@ def _decode_kernel(lens_ref, hi_ref, *refs,
         acc_scr[...] = jnp.zeros_like(acc_scr)
 
     length = lens_ref[b_idx]
+    # left-padded cache (≙ FA3 leftpad_k, flash_api.h:104): the sequence
+    # occupies cache columns [lp, lp + length); positions stay causal in
+    # LOGICAL coordinates, so all comparisons below shift by lp
+    lp = lp_ref[b_idx] if has_leftpad else 0
+    end_pos = lp + length
     c_start = ikv * block_k
 
     def _body(apply_mask):
@@ -81,10 +91,12 @@ def _decode_kernel(lens_ref, hi_ref, *refs,
             cols = c_start + jax.lax.broadcasted_iota(
                 jnp.int32, (rows_p, block_k), 1
             )
-            # row r = si*g + gi holds query step si at absolute position
-            # length - sq + si
-            pos = length - sq + rows // g
+            # row r = si*g + gi holds query step si at absolute CACHE
+            # position lp + length - sq + si
+            pos = end_pos - sq + rows // g
             mask = cols <= pos
+            if has_leftpad:
+                mask = jnp.logical_and(mask, cols >= lp)
             if window_left >= 0:
                 mask = jnp.logical_and(mask, cols >= pos - window_left)
             s = jnp.where(mask, s, NEG_INF)
@@ -113,12 +125,16 @@ def _decode_kernel(lens_ref, hi_ref, *refs,
     # is consumption-bound, so every VPU pass on the score matrix shows up
     # in tokens/s. A block needs masking only if it straddles a query
     # position (causal right edge) or the sliding-window left edge.
-    fully_unmasked = c_start + block_k - 1 <= length - sq
+    fully_unmasked = c_start + block_k - 1 <= end_pos - sq
+    if has_leftpad:
+        fully_unmasked = jnp.logical_and(fully_unmasked, c_start >= lp)
     if window_left >= 0:
         fully_unmasked = jnp.logical_and(
-            fully_unmasked, c_start >= length - 1 - window_left
+            fully_unmasked, c_start >= end_pos - 1 - window_left
         )
-    should_run = c_start < length
+    should_run = c_start < end_pos
+    if has_leftpad:
+        should_run = jnp.logical_and(should_run, c_start + block_k > lp)
 
     @pl.when(jnp.logical_and(should_run, fully_unmasked))
     def _fast():
@@ -145,11 +161,20 @@ def flash_decode(
     window_size: Tuple[int, int] = (-1, -1),
     softcap: float = 0.0,
     block_k: Optional[int] = None,
+    kv_batch_idx: Optional[jax.Array] = None,
+    leftpad_k: Optional[jax.Array] = None,
     interpret: Optional[bool] = None,
 ) -> jax.Array:
     """q: (b, sq, h, d); k/v_cache: (b, hk, S, d) arrays or QuantizedKV
     (int8/fp8 payload + per-token scales); lengths: (b,) int32 valid length
     including the sq new tokens. Returns (b, sq, h, d).
+
+    kv_batch_idx: (b,) int32 — cache batch row serving query batch i
+    (beam search / shared-prompt fan-out; ≙ FA3 kv_batch_idx,
+    flash_api.h:143). Resolved in the scalar-prefetch index maps; no
+    gather materializes.
+    leftpad_k: (b,) int32 — the sequence occupies cache columns
+    [leftpad, leftpad + length) (≙ FA3 leftpad_k, flash_api.h:104).
 
     block_k default is adaptive: decode is HBM-bound and per-grid-step
     overhead dominates small blocks (measured on v5e: 512 -> ~45% of HBM
@@ -197,15 +222,26 @@ def flash_decode(
     # Per-batch last-valid-block index, precomputed once and scalar-prefetched
     # so the per-step index maps are a single min (the div/max on the scalar
     # core per grid step measurably delayed DMA issue).
-    hi_blocks = jnp.maximum(
-        (jnp.asarray(lengths, jnp.int32) - 1) // block_k, 0
-    )
+    has_kvb = kv_batch_idx is not None
+    has_leftpad = leftpad_k is not None
+    lens32 = jnp.asarray(lengths, jnp.int32)
+    lp32 = jnp.asarray(leftpad_k, jnp.int32) if has_leftpad else 0
+    hi_blocks = jnp.maximum((lp32 + lens32 - 1) // block_k, 0)
+    extra_prefetch = []
+    if has_kvb:
+        extra_prefetch.append(jnp.asarray(kv_batch_idx, jnp.int32))
+    if has_leftpad:
+        extra_prefetch.append(jnp.asarray(leftpad_k, jnp.int32))
 
-    def kv_index(b_, h_, ikv, lens_ref, hi_ref):
-        return (b_, h_, jnp.minimum(ikv, hi_ref[b_]), 0)
+    def cache_b(b_, refs):
+        # refs = (lens, hi[, kvb][, lp]) — kvb sits right after hi
+        return refs[2][b_] if has_kvb else b_
 
-    def sc_index(b_, h_, ikv, lens_ref, hi_ref):
-        return (b_, h_, 0, jnp.minimum(ikv, hi_ref[b_]))
+    def kv_index(b_, h_, ikv, *refs):
+        return (cache_b(b_, refs), h_, jnp.minimum(ikv, refs[1][b_]), 0)
+
+    def sc_index(b_, h_, ikv, *refs):
+        return (cache_b(b_, refs), h_, 0, jnp.minimum(ikv, refs[1][b_]))
 
     out = pl.pallas_call(
         functools.partial(
@@ -213,9 +249,10 @@ def flash_decode(
             sm_scale=softmax_scale, softcap=softcap, block_k=block_k,
             sq=sq, g=g, rows_p=rows_p, window_left=window_size[0],
             num_kv_blocks=nkv, quantized=quantized,
+            has_kvb=has_kvb, has_leftpad=has_leftpad,
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
+            num_scalar_prefetch=2 + len(extra_prefetch),
             grid=(b, hk, nkv),
             in_specs=(
                 [pl.BlockSpec((1, 1, rows_p, d),
@@ -242,7 +279,7 @@ def flash_decode(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret_mode() if interpret is None else interpret,
-    )(jnp.asarray(lengths, jnp.int32), hi_blocks, qr,
+    )(lens32, hi_blocks, *extra_prefetch, qr,
       *( (k_cache, k_scales, v_cache, v_scales) if quantized
          else (k_cache, v_cache) ))
     out = out[:, :, :rows].reshape(b, hk, sq, g, d).transpose(0, 2, 1, 3, 4)

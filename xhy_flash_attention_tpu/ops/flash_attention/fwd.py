@@ -29,6 +29,7 @@ regenerates the identical mask — replacing the reference's Philox state.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional, Tuple
 
 import jax
@@ -52,6 +53,13 @@ from .common import (
 )
 
 MIN_LANES = 128
+
+# Zero-seeded deferred-shift softmax (see _fwd_kernel._init): every block
+# runs the pipelined deferred path instead of seeding the shift with a
+# serialized pass on each row's first KV block. Exact to fp32 rounding
+# while row maxima stay under the +70 clamp. XFA_ZERO_SEED=0 restores the
+# seeded variant (A/B lever).
+ZERO_SEED = os.environ.get("XFA_ZERO_SEED", "1") == "1"
 
 
 def _fwd_kernel(
@@ -83,6 +91,7 @@ def _fwd_kernel(
     pos_window: Tuple[int, int] = (-1, -1),
     has_segstats: bool = False,
     diag_mask_tile: bool = False,
+    zero_seed: bool = False,
 ):
     it = iter(refs)
     if dropout_p > 0.0:
@@ -122,7 +131,20 @@ def _fwd_kernel(
 
     @pl.when(ikv == 0)
     def _init():
-        m_scr[...] = jnp.full_like(m_scr, NEG_INF)
+        if deferred and zero_seed:
+            # Zero-seeded deferred shift: EVERY block (including ikv == 0)
+            # runs the pipelined deferred path — no serialized seed pass.
+            # Starting the shift at 0 is safe: exp(min(s - 0, 70)) bounds
+            # the unnormalized weights by e^70 (psum/acc stay far inside
+            # fp32), the shift cancels exactly in _finish (lse = m +
+            # log(l) is shift-invariant), and for scores under the clamp
+            # the math is exact to fp32 rounding. For causal this removes
+            # the serialized path from the ~40% of useful blocks that are
+            # a row's first (vs 25% non-causal) — the main cost of the
+            # seeded variant.
+            m_scr[...] = jnp.zeros_like(m_scr)
+        else:
+            m_scr[...] = jnp.full_like(m_scr, NEG_INF)
         l_scr[...] = jnp.zeros_like(l_scr)
         acc_scr[...] = jnp.zeros_like(acc_scr)
 
@@ -359,8 +381,14 @@ def _fwd_kernel(
         # always visited and never fully masked under the `deferred`
         # gating) runs the standard serialized path to seed the shift;
         # later blocks run the pipelined deferred path. The ikv == 0
-        # condition is a grid scalar — no VPU-to-scalar sync.
-        if deferred:
+        # condition is a grid scalar — no VPU-to-scalar sync. With
+        # zero_seed the shift starts at 0 instead (see _init) and every
+        # block takes the deferred path — half the branch bodies.
+        if deferred and zero_seed:
+            @pl.when(cond)
+            def _defer():
+                body(masked, defer=True)
+        elif deferred:
             @pl.when(jnp.logical_and(cond, ikv == 0))
             def _seed():
                 body(masked)
@@ -731,6 +759,11 @@ def flash_attention_fwd(
             and not has_segments and not has_left
             and (not has_right or offset >= 0)
         ),
+        # bias empirically doubles the dbias recompute error under the
+        # zero-seeded shift (0.021 -> 0.041 max vs fp64 at the contract
+        # test's shapes) while lse stays bit-comparable — keep the exact
+        # seeded path when a bias is trained through the kernel
+        zero_seed=ZERO_SEED and not has_bias,
     )
 
     grid = (b, h, nq, nkv)

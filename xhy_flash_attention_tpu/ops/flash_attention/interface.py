@@ -327,8 +327,12 @@ def flash_attn_varlen_func(
     return_attn_probs: bool = False,
     deterministic: bool = True,
     dropout_seed=None,
+    return_lse: bool = False,
 ):
     """≙ flash_attn_varlen_func (flash_attn_interface.py:454).
+    ``return_lse`` returns (out, lse (h, total_q) fp32) without the
+    O(total²) S_dmask debug tensor (the C API's varlen_fwd uses this,
+    ≙ the softmax_lse_ptr output of capi/flash_attn.h:57).
 
     q: (total_q, nheads, head_dim) packed; cu_seqlens_q: (batch+1,) int32.
     On TPU varlen is packed attention with segment-id masking — the
@@ -375,9 +379,12 @@ def flash_attn_varlen_func(
         qt, kt, vt, None, q_seg, k_seg,
         softmax_scale=softmax_scale, causal=causal, window_size=window_size,
         softcap=softcap, dropout_p=dropout_p, dropout_seed=dropout_seed,
-        return_lse=return_attn_probs,
+        return_lse=return_attn_probs or return_lse,
         q_positions=qpos, kv_positions=kpos,
     )
+    if return_lse and not return_attn_probs:
+        out, lse = res
+        return jnp.swapaxes(out, 1, 2)[0], lse[0]
     if return_attn_probs:
         out, lse = res
         scale = softmax_scale if softmax_scale is not None \
