@@ -617,22 +617,24 @@ def test_return_attn_probs_s_dmask():
 
 @pytest.mark.parametrize("causal", [False, True])
 @pytest.mark.parametrize("dropout_p", [0.0, 0.2])
-@pytest.mark.parametrize("dq_variant", ["scratch", "workspace"])
+@pytest.mark.parametrize("dq_variant", ["scratch", "workspace", "split"])
 def test_flash_attn_merged_bwd_small_blocks(causal, dropout_p, dq_variant,
                                             monkeypatch):
-    """Force multiple KV blocks (small tiles) so the MERGED single-pass
-    backward fast path runs (default tiles cover test seqlens in one
-    block, which takes the split path): grads must match the reference
-    contract, incl. GQA and dropout — for both the VMEM dq-scratch
-    variant and the fp32 HBM partials-workspace fallback."""
+    """Force multiple KV blocks (small tiles) so the single-pass backward
+    runs (default tiles cover test seqlens in one block, which takes the
+    split path): grads must match the reference contract, incl. GQA and
+    dropout — for the VMEM dq-scratch variant, the fp32 HBM
+    partials-workspace fallback, and the forced two-kernel split path."""
     from xhy_flash_attention_tpu import flash_attention
     from xhy_flash_attention_tpu.ops.flash_attention import bwd as bwd_mod
     from xhy_flash_attention_tpu.ops.flash_attention.common import (
         BlockSizes, dropout_keep_mask,
     )
 
-    if dq_variant == "workspace":
+    if dq_variant in ("workspace", "split"):
         monkeypatch.setattr(bwd_mod, "MERGED_DQ_SCRATCH_CAP", 0)
+    if dq_variant == "split":
+        monkeypatch.setattr(bwd_mod, "MERGED_DQ_WORKSPACE_CAP", 0)
 
     b, s, h, hk, d = 2, 384, 4, 2, 64
     bs = BlockSizes(block_q=128, block_k=128, block_q_dkv=128,

@@ -213,6 +213,47 @@ def test_engine_matches_sequential_decode():
         _assert_tokens_match_modulo_ties(results[i], out, margins)
 
 
+def test_engine_speculative_prompt_lookup():
+    """Prompt-lookup speculative decoding must emit the same greedy
+    tokens as the plain engine — drafts are verified by the same model,
+    so acceptance only changes how many dispatches run, never the
+    sequence. A repetitive prompt makes the n-gram lookup actually fire."""
+    from xhy_flash_attention_tpu.models.gpt import GPTConfig, GPTLMHeadModel
+
+    cfg = GPTConfig(
+        vocab_size=128, hidden_size=64, num_hidden_layers=2,
+        num_attention_heads=4, num_attention_heads_kv=2,
+        intermediate_size=128, max_position_embeddings=0,
+        rotary_emb_fraction=1.0, rms_norm=True,
+        activation_function="swiglu", tie_word_embeddings=False,
+        qkv_proj_bias=False, out_proj_bias=False,
+        mlp_fc1_bias=False, mlp_fc2_bias=False, dtype=jnp.float32,
+    )
+    model = GPTLMHeadModel(cfg)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 8), jnp.int32))
+    hk = cfg.num_attention_heads_kv
+    d = cfg.hidden_size // cfg.num_attention_heads
+    # repetitive prompt -> the trailing bigram recurs and proposes drafts
+    prompt = np.asarray([5, 9, 22, 5, 9, 22, 5, 9, 22, 5, 9], np.int32)
+
+    def run(spec):
+        eng = InferenceEngine(
+            model.apply, params,
+            num_layers=cfg.num_hidden_layers, num_kv_heads=hk, head_dim=d,
+            num_pages=64, page_size=128, max_batch=2, max_pages_per_seq=4,
+            dtype=jnp.float32, speculate_len=spec,
+        )
+        eng.add_request(Request(rid=0, prompt=prompt, max_new_tokens=8))
+        return eng.run()[0]
+
+    plain = run(0)
+    spec = run(3)
+    assert len(spec) == len(plain) == 8
+    out, margins = _greedy_manual(model, params, list(prompt), 8)
+    _assert_tokens_match_modulo_ties(plain, out, margins)
+    _assert_tokens_match_modulo_ties(spec, out, margins)
+
+
 def test_engine_chunked_prefill_admission():
     """Chunked-prefill admission (prompts longer than prefill_chunk enter
     in chunk-sized pieces interleaved with decode) must produce the same

@@ -136,6 +136,15 @@ class InferenceEngine:
         # one long admit never stalls the running batch for a full-prompt
         # forward. None = whole-prompt bucketed prefill.
         prefill_chunk: Optional[int] = None,
+        # prompt-lookup speculative decoding (greedy slots only): propose
+        # up to `speculate_len` draft tokens by matching the trailing
+        # `speculate_ngram`-gram against the request's own history, then
+        # verify them all in ONE multi-token dispatch. Rejected drafts
+        # cost nothing extra: the host length mirror is re-pushed before
+        # every dispatch, so their appended KV is simply overwritten —
+        # the same rollback-free mechanism chunked prefill uses.
+        speculate_len: int = 0,
+        speculate_ngram: int = 2,
     ):
         self.model_apply = model_apply
         self.params = params
@@ -145,6 +154,9 @@ class InferenceEngine:
         self.prefill_chunk = prefill_chunk
         self._prefilling: List[Request] = []
         self._prefill_fns: Dict[int, Callable] = {}
+        self.speculate_len = speculate_len
+        self.speculate_ngram = speculate_ngram
+        self._verify_fn = None
         self.trash_page = num_pages - 1  # sink for inactive-slot appends
         self.caches = []
         for _ in range(num_layers):
@@ -341,15 +353,109 @@ class InferenceEngine:
 
         return jax.jit(step)
 
+    # ---- speculative decode (prompt lookup) -------------------------------
+
+    def _propose(self, r: Request) -> List[int]:
+        """Draft up to speculate_len tokens: find the most recent earlier
+        occurrence of the trailing n-gram in the request's own history
+        (prompt + generated) and copy what followed it (the vLLM
+        "prompt lookup"/ngram speculator). Empty when no match."""
+        n, K = self.speculate_ngram, self.speculate_len
+        hist = list(r.prompt) + r.output
+        if len(hist) <= n:
+            return []
+        tail = hist[-n:]
+        # scan backwards over earlier positions
+        for i in range(len(hist) - n - 1, -1, -1):
+            if hist[i:i + n] == tail:
+                cont = hist[i + n:i + n + K]
+                if cont:
+                    return [int(t) for t in cont]
+        return []
+
+    def _build_verify(self, width: int):
+        apply = self.model_apply
+
+        def step(params, tokens, caches):
+            lengths = caches[0].lengths
+            logits, new_caches = apply(
+                params, tokens, kv_caches=caches, seqlen_offset=lengths,
+            )
+            return logits, new_caches
+
+        return jax.jit(step)
+
+    def _finish_tokens(self, r: Request, toks: List[int]):
+        """Append emitted tokens, honoring eos/max_new; returns committed
+        count actually kept (tokens after a cut are dropped)."""
+        kept = 0
+        for tok in toks:
+            r.output.append(tok)
+            self._last_tokens[r.slot] = tok
+            kept += 1
+            if (len(r.output) >= r.max_new_tokens
+                    or (r.eos_token_id is not None
+                        and tok == r.eos_token_id)):
+                self._release(r)
+                self.finished.append(r)
+                return kept
+        return kept
+
+    def _decode_speculative(self, active):
+        K = self.speculate_len
+        width = 1 + K
+        ids = np.zeros((self.max_batch, width), np.int32)
+        drafts: Dict[int, List[int]] = {}
+        for r in active:
+            d = self._propose(r) if r.temperature <= 0.0 else []
+            drafts[r.slot] = d
+            ids[r.slot, 0] = self._last_tokens[r.slot]
+            ids[r.slot, 1:1 + len(d)] = d
+            # pages must cover the whole appended width
+            need = -(-(self._lengths[r.slot] + width) // self.page_size)
+            while len(r.pages) < min(need, self.max_pages_per_seq):
+                self._alloc_page(r)
+        self._sync_caches()
+        if self._verify_fn is None:
+            self._verify_fn = self._build_verify(width)
+        logits, self.caches = self._verify_fn(
+            self.params, jnp.asarray(ids), self.caches
+        )
+        logits_np = np.asarray(logits)
+        for r in active:
+            d = drafts[r.slot]
+            emitted = []
+            m = 0  # matched drafts (their KV is already committed)
+            for i in range(len(d) + 1):
+                if r.temperature <= 0.0:
+                    tok = int(np.argmax(logits_np[r.slot, i]))
+                else:
+                    tok = self._sample(logits_np[r.slot, i], r)
+                emitted.append(tok)
+                if i < len(d) and tok == d[i]:
+                    m += 1
+                else:
+                    break
+            self._finish_tokens(r, emitted)
+            if r.slot >= 0:  # not released by eos/max_new
+                # committed cache tokens: last_token + matched drafts (the
+                # final emitted token stays pending, like normal decode)
+                self._lengths[r.slot] += 1 + m
+
     def step(self) -> List[Request]:
         """Admit waiting requests, advance chunked prefills by one chunk,
-        run one decode step, return newly finished requests."""
+        run one decode step (speculative when enabled), return newly
+        finished requests."""
         self._admit()
         self._prefill_chunk_step()
         prefilling = set(id(r) for r in self._prefilling)
         active = [r for r in self.slots
                   if r is not None and id(r) not in prefilling]
         if not active:
+            done, self.finished = self.finished, []
+            return done
+        if self.speculate_len > 0:
+            self._decode_speculative(active)
             done, self.finished = self.finished, []
             return done
         # ensure a page exists for the next token of each active slot

@@ -10,14 +10,17 @@ TPU-native re-design of the reference recompute-based backward
   into two clean kernels with independent tilings (the design space the
   reference exposes as its two parallelization modes,
   flash_bwd_launch_template.h:50,91):
-    - merged fast path (plain/causal/window shapes): ONE kernel computes
-      dK/dV in VMEM scratch and dQ by accumulating partial products into an
-      HBM dQ block revisited across the sequential kv axis — 5 matmuls per
-      tile instead of the split path's 7;
-    - split fallback (bias/segments/positions/flashmask/blocksparse):
-      dKV kernel grid (batch, kv-head, kv-block, q-block) with the GQA group
-      accumulated in VMEM, plus a dQ kernel grid
-      (batch, q-head, q-block, kv-block) with dQ in VMEM scratch.
+    - single-pass path (default, ALL feature combinations): ONE kernel,
+      grid (batch, kv-head, kv-block, q-block), computes dK/dV in VMEM
+      scratch with the GQA group accumulated in place AND dQ — 5 matmuls
+      per tile instead of the split pair's 7. dQ accumulates across the
+      sequential kv axis in a persistent VMEM scratch covering all
+      (group, q-block) slices (emitted in the final kv sweep), falling
+      back to an fp32 HBM partials workspace reduced by XLA when the
+      scratch exceeds MERGED_DQ_SCRATCH_CAP;
+    - split fallback (single KV block, or scratch AND workspace both
+      unaffordable): the same dKV kernel without dq outputs plus a dQ
+      kernel, grid (batch, q-head, q-block, kv-block), dQ in VMEM scratch.
 * `dot_do_o` preprocess (flash_bwd_kernel.h:78) is a one-line XLA reduction —
   delta = sum(o * do, -1) — which XLA fuses; no dedicated kernel needed.
 * both kernels recompute p = exp(s - lse) from the saved LSE, exactly like
@@ -64,6 +67,10 @@ MIN_LANES = 128
 # path). 40 MiB leaves room for the streaming tiles under the ~100 MiB
 # usable VMEM on v5e.
 MERGED_DQ_SCRATCH_CAP = 40 * 2**20
+
+# Cap on the fp32 (b, h, nkv, sq, d) dq partials workspace used when the
+# VMEM scratch doesn't fit; beyond this the split two-kernel path runs.
+MERGED_DQ_WORKSPACE_CAP = 2 * 1024**3
 
 
 def _recompute_p_ds(
@@ -172,8 +179,14 @@ def _bwd_dkv_kernel(refs, *, params):
     dk_ref = next(it)
     dv_ref = next(it)
     dbias_ref = next(it) if params["has_bias"] else None
+    # single-pass mode: this kernel also produces dQ (5 matmuls per tile
+    # instead of the split path's 7 — one recompute serves all grads)
+    with_dq = params.get("with_dq", False)
+    dq_in_scratch = params.get("dq_in_scratch", False)
+    dq_ref = next(it) if with_dq else None
     dk_scr = next(it)
     dv_scr = next(it)
+    dq_scr = next(it) if (with_dq and dq_in_scratch) else None
 
     b_idx, h_idx = pl.program_id(0), pl.program_id(1)
     ikv, j_inner = pl.program_id(2), pl.program_id(3)
@@ -208,6 +221,13 @@ def _bwd_dkv_kernel(refs, *, params):
     def _init():
         dk_scr[...] = jnp.zeros_like(dk_scr)
         dv_scr[...] = jnp.zeros_like(dv_scr)
+
+    if dq_scr is not None:
+        # each (group member, q-block) cell owns its dq slice; zero it on
+        # the first kv sweep (unconditionally — skipped pairs too)
+        @pl.when(ikv == 0)
+        def _init_dq():
+            dq_scr[j_inner] = jnp.zeros((bq, dq_scr.shape[-1]), jnp.float32)
 
     q_start = iq * bq
     c_start = ikv * bk
@@ -330,6 +350,18 @@ def _bwd_dkv_kernel(refs, *, params):
             ds.astype(dtype), q_scaled,
             (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
         )
+        if with_dq:
+            # dQ partial for this (kv-block, q-block, head); sm_scale is
+            # applied once after the reduction
+            dq_partial = jax.lax.dot_general(
+                ds.astype(dtype), k_ref[0, 0],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            if dq_in_scratch:
+                dq_scr[j_inner] += dq_partial
+            else:
+                dq_ref[0, 0, 0] = dq_partial
 
     if params["has_bias"] and dbias_group_acc:
         # head-broadcast bias: the (b, hk, q, kv) dbias block stays
@@ -366,159 +398,13 @@ def _bwd_dkv_kernel(refs, *, params):
         def _zero_dbias():
             dbias_ref[0, 0] = jnp.zeros_like(dbias_ref[0, 0])
 
-    @pl.when(j_inner == g * nq - 1)
-    def _finish():
-        dk_ref[0, 0] = dk_scr[...]
-        dv_ref[0, 0] = dv_scr[...]
+    if with_dq and not dq_in_scratch:
+        # skipped pairs own their dq partial block: zero it
+        @pl.when(jnp.logical_not(should_run))
+        def _zero_dq():
+            dq_ref[0, 0, 0] = jnp.zeros_like(dq_ref[0, 0, 0])
 
-
-def _bwd_merged_kernel(refs, *, params):
-    """Single-pass backward (fast path): dK/dV accumulate in VMEM over the
-    inner (group, q-block) axis; dQ accumulates across the sequential
-    kv axis in a persistent VMEM scratch covering all (group, q-block)
-    slices, written to an fp32 (b, h, sq, d) output only during the final
-    kv sweep — the reference's O(b*h*sq*d) dq_accum workspace
-    (flash_bwd_kernel.h:427 + convert_dQ) with VMEM residency instead of
-    atomics. One recompute serves all three gradients: 5 matmuls per tile
-    vs the split kernels' 7 (measured on v5e: causal 78->90, non-causal
-    117->140 TFLOP/s with the old partials workspace; the scratch variant
-    removes the partials' HBM round-trip entirely). Shapes whose dq
-    scratch would not fit VMEM fall back to the old per-(kv,q)-pair fp32
-    partials workspace (dq_in_scratch=False), reduced by XLA outside."""
-    it = iter(refs)
-    if params["dropout_p"] > 0.0:
-        seed_ref = next(it)
-    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref = (
-        next(it), next(it), next(it), next(it), next(it), next(it),
-    )
-    dq_ref = next(it)
-    dk_ref = next(it)
-    dv_ref = next(it)
-    dk_scr = next(it)
-    dv_scr = next(it)
-    dq_in_scratch = params.get("dq_in_scratch", False)
-    dq_scr = next(it) if dq_in_scratch else None
-
-    b_idx, h_idx = pl.program_id(0), pl.program_id(1)
-    ikv, j_inner = pl.program_id(2), pl.program_id(3)
-    bq, bk = params["block_q"], params["block_k"]
-    sq, sk = params["seqlen_q"], params["seqlen_k"]
-    offset = params["offset"]
-    window = params["window"]
-    has_right, has_left = params["has_right"], params["has_left"]
-    nq = params["num_q_blocks"]
-    g = params.get("group", 1)
-    if g > 1:
-        gi = j_inner % g
-        iq = j_inner // g
-        qh_idx = h_idx * g + gi
-    else:
-        gi = 0
-        iq = j_inner
-        qh_idx = h_idx
-    num_heads = params.get("num_heads", pl.num_programs(1))
-
-    @pl.when(j_inner == 0)
-    def _init():
-        dk_scr[...] = jnp.zeros_like(dk_scr)
-        dv_scr[...] = jnp.zeros_like(dv_scr)
-
-    if dq_in_scratch:
-        # each (group, q-block) cell owns its dq slice: zero it on the
-        # first kv sweep (unconditionally — skipped pairs too)
-        @pl.when(ikv == 0)
-        def _init_dq():
-            dq_scr[j_inner] = jnp.zeros(
-                (params["block_q"], dq_scr.shape[-1]), jnp.float32
-            )
-
-    q_start = iq * bq
-    c_start = ikv * bk
-    q_last_real = jnp.minimum(q_start + bq, sq) - 1
-    c_last = c_start + bk - 1
-    c_last_real = jnp.minimum(c_last, sk - 1)
-
-    should_run = jnp.logical_and(q_start < sq, c_start < sk)
-    if has_right:
-        should_run = jnp.logical_and(
-            should_run, c_start <= q_last_real + offset + window[1]
-        )
-    if has_left:
-        should_run = jnp.logical_and(
-            should_run, c_last_real >= q_start + offset - window[0]
-        )
-
-    fully_unmasked = jnp.logical_and(c_last < sk, q_start + bq <= sq)
-    if has_right:
-        fully_unmasked = jnp.logical_and(
-            fully_unmasked, c_last <= q_start + offset + window[1]
-        )
-    if has_left:
-        fully_unmasked = jnp.logical_and(
-            fully_unmasked, c_start >= q_start + bq - 1 + offset - window[0]
-        )
-
-    def body(apply_position_mask):
-        q = q_ref[0, 0]
-        do = do_ref[0, 0]
-        lse = lse_ref[0, 0][:, :1]
-        delta = delta_ref[0, 0][:, :1]
-        rng_block = None
-        if params["dropout_p"] > 0.0:
-            rng_block = (seed_ref[0],
-                         (b_idx + seed_ref[1]) * num_heads + qh_idx)
-        p_dropped, ds, _, q_scaled = _recompute_p_ds(
-            q, k_ref[0, 0], v_ref[0, 0], do, lse, delta,
-            None, None, None,
-            sm_scale=params["sm_scale"], softcap=params["softcap"],
-            dropout_p=params["dropout_p"], rng_block=rng_block,
-            q_start=q_start, c_start=c_start, seqlen_k=sk,
-            has_right=has_right, has_left=has_left, window=window,
-            offset=offset, apply_position_mask=apply_position_mask,
-        )
-        dtype = q.dtype
-        dv_scr[...] += jax.lax.dot_general(
-            p_dropped.astype(dtype), do,
-            (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
-        )
-        dk_scr[...] += jax.lax.dot_general(
-            ds.astype(dtype), q_scaled,
-            (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
-        )
-        # dQ partial for this (kv-block, q-block, head); sm_scale applied
-        # once at the end
-        dq_partial = jax.lax.dot_general(
-            ds.astype(dtype), k_ref[0, 0],
-            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
-        )
-        if dq_in_scratch:
-            dq_scr[j_inner] += dq_partial
-        else:
-            dq_ref[0, 0, 0] = dq_partial
-
-    needs_branch = (
-        has_right or has_left or (sk % bk != 0) or (sq % bq != 0)
-    )
-    if needs_branch:
-        @pl.when(jnp.logical_and(should_run, fully_unmasked))
-        def _fast():
-            body(False)
-
-        @pl.when(jnp.logical_and(should_run, jnp.logical_not(fully_unmasked)))
-        def _masked():
-            body(True)
-
-        if not dq_in_scratch:
-            # skipped pairs own their dq partial block: zero it
-            @pl.when(jnp.logical_not(should_run))
-            def _skip():
-                dq_ref[0, 0, 0] = jnp.zeros_like(dq_ref[0, 0, 0])
-    else:
-        @pl.when(should_run)
-        def _run():
-            body(False)
-
-    if dq_in_scratch:
+    if with_dq and dq_in_scratch:
         # the dq output block is only addressed (by the out spec's index
         # clamp) during the final kv sweep; earlier sweeps never change
         # the out index, so no dead writebacks occur
@@ -1054,130 +940,6 @@ def flash_attention_bwd(
 
         return fn
 
-    # ---- merged fast path: one kernel for dK/dV/dQ ----------------------
-    # One recompute serves all three grads (5 matmuls/tile vs the split
-    # kernels' 7; +15-20% on v5e). dQ accumulates in a persistent VMEM
-    # scratch sized (g * sq_padded, d) fp32, emitted once in the final kv
-    # sweep; shapes whose scratch would blow VMEM fall back to the fp32
-    # per-(kv,q)-pair partials workspace (b, h, nkv, sq, d) reduced by
-    # XLA, itself capped so huge shapes take the two-kernel path;
-    # features that need the full scalar-prefetch machinery also fall
-    # back to the two-kernel path.
-    bq0 = min(block_sizes.block_q_dkv, round_up(sq, 128))
-    bk0 = min(block_sizes.block_k_dkv, round_up(sk, 128))
-    nq0 = -(-round_up(sq, bq0) // bq0)
-    nkv0 = -(-round_up(sk, bk0) // bk0)
-    dq_scratch_bytes = g * nq0 * bq0 * d * 4
-    dq_in_scratch = dq_scratch_bytes <= MERGED_DQ_SCRATCH_CAP
-    workspace_bytes = b * h * nkv0 * round_up(sq, bq0) * d * 4
-    use_merged = (
-        not has_bias and not has_segments and not has_positions
-        and not has_flashmask and not has_blockmask
-        and (dq_in_scratch or workspace_bytes <= 2 * 1024**3)
-        # at a single KV block the split path has no duplicate recompute
-        # to save, and the fp32 dq round-trip is a net loss
-        and nkv0 >= 2
-    )
-    if use_merged:
-        qp = pad_to_block(q, 2, bq0)
-        kp = pad_to_block(k, 2, bk0)
-        vp = pad_to_block(v, 2, bk0)
-        dop = pad_to_block(do, 2, bq0)
-        lsep = pad_to_block(
-            jnp.broadcast_to(lse[..., None], lse.shape + (8,)), 2, bq0
-        )
-        deltap = pad_to_block(
-            jnp.broadcast_to(delta[..., None], delta.shape + (8,)), 2, bq0
-        )
-        sqp0, skp0 = qp.shape[2], kp.shape[2]
-
-        def iq_of(j):
-            return j // g if g > 1 else j
-
-        def qh_of(h_, j):
-            return h_ * g + j % g if g > 1 else h_
-
-        def q_idx(h_, ikv, j):
-            iq = iq_of(j)
-            if has_right:
-                lo = jnp.maximum(
-                    (ikv * bk0 - offset - window_size[1]) // bq0, 0)
-                iq = jnp.maximum(iq, lo)
-            if has_left:
-                hi = (ikv * bk0 + bk0 - 1 - offset + window_size[0]) // bq0
-                iq = jnp.minimum(iq, jnp.maximum(hi, 0))
-            return jnp.clip(iq, 0, nq0 - 1)
-
-        qspec = pl.BlockSpec(
-            (1, 1, bq0, d),
-            lambda b_, h_, ikv, j, *r: (b_, qh_of(h_, j), q_idx(h_, ikv, j), 0))
-        kvspec = pl.BlockSpec(
-            (1, 1, bk0, d), lambda b_, h_, ikv, j, *r: (b_, h_, ikv, 0))
-        statspec = pl.BlockSpec(
-            (1, 1, bq0, 8),
-            lambda b_, h_, ikv, j, *r: (b_, qh_of(h_, j), q_idx(h_, ikv, j), 0))
-        if dq_in_scratch:
-            # dq is only addressed during the final kv sweep; clamp the
-            # out index to a constant on earlier sweeps so revisiting
-            # never triggers a writeback of the untouched buffer
-            def dq_idx(b_, h_, ikv, j, *r):
-                last = ikv == nkv0 - 1
-                return (b_, jnp.where(last, qh_of(h_, j), h_ * g),
-                        jnp.where(last, iq_of(j), 0), 0)
-
-            dqspec = pl.BlockSpec((1, 1, bq0, d), dq_idx)
-            dq_shape = jax.ShapeDtypeStruct((b, h, sqp0, d), jnp.float32)
-            dq_scratch = [pltpu.VMEM((nq0 * g, bq0, d), jnp.float32)]
-        else:
-            dqspec = pl.BlockSpec(
-                (1, 1, 1, bq0, d),
-                lambda b_, h_, ikv, j, *r: (b_, qh_of(h_, j), ikv,
-                                            iq_of(j), 0))
-            dq_shape = jax.ShapeDtypeStruct((b, h, nkv0, sqp0, d),
-                                            jnp.float32)
-            dq_scratch = []
-        mparams = dict(
-            group=g, num_heads=h, dq_in_scratch=dq_in_scratch,
-            sm_scale=sm_scale, softcap=softcap, dropout_p=dropout_p,
-            has_right=has_right, has_left=has_left, window=window_size,
-            offset=offset, seqlen_q=sq, seqlen_k=sk,
-            block_q=bq0, block_k=bk0, num_q_blocks=nq0, num_kv_blocks=nkv0,
-        )
-        dqp, dk_m, dv_m = pl.pallas_call(
-            functools.partial(_bwd_merged_entry, params=mparams),
-            grid_spec=pltpu.PrefetchScalarGridSpec(
-                num_scalar_prefetch=1 if dropout_p > 0.0 else 0,
-                grid=(b, hk, nkv0, nq0 * g),
-                in_specs=[qspec, kvspec, kvspec, qspec, statspec, statspec],
-                out_specs=[dqspec, kvspec, kvspec],
-                scratch_shapes=[
-                    pltpu.VMEM((bk0, d), jnp.float32),
-                    pltpu.VMEM((bk0, d), jnp.float32),
-                ] + dq_scratch,
-            ),
-            out_shape=[
-                dq_shape,
-                jax.ShapeDtypeStruct((b, hk, skp0, d), jnp.float32),
-                jax.ShapeDtypeStruct((b, hk, skp0, d), jnp.float32),
-            ],
-            compiler_params=pltpu.CompilerParams(
-                dimension_semantics=("parallel", "parallel", "arbitrary",
-                                     "arbitrary"),
-                vmem_limit_bytes=max(
-                    64 * 2**20,
-                    dq_scratch_bytes + 32 * 2**20 if dq_in_scratch else 0,
-                ),
-            ),
-            interpret=interp,
-        )(*seed_input, qp, kp, vp, dop, lsep, deltap)
-        if dq_in_scratch:
-            dq = (dqp[:, :, :sq] * sm_scale).astype(q.dtype)
-        else:
-            dq = (dqp.sum(axis=2)[:, :, :sq] * sm_scale).astype(q.dtype)
-        dk = dk_m[:, :, :sk].astype(k.dtype)
-        dv = dv_m[:, :, :sk].astype(v.dtype)
-        return dq, dk, dv, None
-
     # ---- dKV kernel: grid (b, h, kv-block, q-block) ----
     bq1, bk1 = block_sizes.block_q_dkv, block_sizes.block_k_dkv
     bq1 = min(bq1, round_up(sq, 128))
@@ -1185,6 +947,22 @@ def flash_attention_bwd(
     nq1, nkv1 = -(-round_up(sq, bq1) // bq1), -(-round_up(sk, bk1) // bk1)
 
     dbias_group_acc = has_bias and g > 1 and bias.shape[1] == 1
+
+    # Single-pass backward: the dKV kernel also produces dQ (5 matmuls
+    # per tile vs 7 for the split dKV+dQ pair — one recompute serves all
+    # grads), accumulating it in a persistent VMEM scratch across the
+    # sequential kv axis, or — when the scratch won't fit — in an fp32
+    # HBM partials workspace reduced by XLA. Only when neither fits (or
+    # there's a single KV block, where there is no duplicate recompute to
+    # save) does the separate dQ kernel below run. This serves every
+    # feature path: bias/segments/positions/flashmask/blocksparse ride
+    # the same scalar-prefetch machinery as dK/dV.
+    dq_scratch_bytes = g * nq1 * bq1 * d * 4
+    dq_in_scratch = dq_scratch_bytes <= MERGED_DQ_SCRATCH_CAP
+    workspace_bytes = b * h * nkv1 * round_up(sq, bq1) * d * 4
+    with_dq = nkv1 >= 2 and (
+        dq_in_scratch or workspace_bytes <= MERGED_DQ_WORKSPACE_CAP
+    )
 
     def _iq_of(j):
         return j // g if g > 1 else j
@@ -1228,6 +1006,7 @@ def flash_attention_bwd(
     )
     params1 = dict(
         group=g, num_heads=h, dbias_group_acc=dbias_group_acc,
+        with_dq=with_dq, dq_in_scratch=dq_in_scratch,
         sm_scale=sm_scale, softcap=softcap, dropout_p=dropout_p,
         has_bias=has_bias, has_segments=has_segments,
         has_right=has_right, has_left=has_left, window=window_size,
@@ -1272,6 +1051,34 @@ def flash_attention_bwd(
             out_shapes1.append(
                 jax.ShapeDtypeStruct((b, h, sqp1, skp1), jnp.float32)
             )
+    dkv_scratch = [
+        pltpu.VMEM((bk1, d), jnp.float32),
+        pltpu.VMEM((bk1, d), jnp.float32),
+    ]
+    if with_dq:
+        if dq_in_scratch:
+            def dq_idx(b_, h_, ikv, j, *r):
+                # only addressed during the final kv sweep; clamped to a
+                # constant earlier so revisiting never triggers a
+                # writeback of the untouched buffer
+                last = ikv == nkv1 - 1
+                qh = qh_map_dkv(b_, h_, ikv, j, *r)
+                return (b_, jnp.where(last, qh, h_ * g),
+                        jnp.where(last, _iq_of(j), 0), 0)
+
+            out_specs1.append(pl.BlockSpec((1, 1, bq1, d), dq_idx))
+            out_shapes1.append(
+                jax.ShapeDtypeStruct((b, h, sqp1, d), jnp.float32))
+            dkv_scratch.append(
+                pltpu.VMEM((nq1 * g, bq1, d), jnp.float32))
+        else:
+            out_specs1.append(pl.BlockSpec(
+                (1, 1, 1, bq1, d),
+                lambda b_, h_, ikv, j, *r: (
+                    b_, qh_map_dkv(b_, h_, ikv, j, *r), ikv,
+                    _iq_of(j), 0)))
+            out_shapes1.append(
+                jax.ShapeDtypeStruct((b, h, nkv1, sqp1, d), jnp.float32))
     results1 = pl.pallas_call(
         functools.partial(_bwd_dkv_entry, params=params1),
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -1279,14 +1086,22 @@ def flash_attention_bwd(
             grid=(b, hk, nkv1, nq1 * g),
             in_specs=specs1,
             out_specs=out_specs1,
-            scratch_shapes=[
-                pltpu.VMEM((bk1, d), jnp.float32),
-                pltpu.VMEM((bk1, d), jnp.float32),
-            ],
+            scratch_shapes=dkv_scratch,
         ),
         out_shape=out_shapes1,
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+            # dq scratch accumulation needs the kv axis sequential;
+            # otherwise it can split across megacore
+            dimension_semantics=(
+                "parallel", "parallel",
+                "arbitrary" if (with_dq and dq_in_scratch) else "parallel",
+                "arbitrary",
+            ),
+            vmem_limit_bytes=max(
+                64 * 2**20,
+                dq_scratch_bytes + 32 * 2**20 if (with_dq and dq_in_scratch)
+                else 0,
+            ),
         ),
         interpret=interp,
     )(*seed_input, *fm_prefetch(bk1), *bm_prefetch(bq1, bk1, nq1, nkv1),
@@ -1306,8 +1121,16 @@ def flash_attention_bwd(
     # dK/dV come out already group-accumulated at (b, hk, sk, d)
     dk = dk_ph[:, :, :sk].astype(k.dtype)
     dv = dv_ph[:, :, :sk].astype(v.dtype)
+    if with_dq:
+        dqp = results1[3 if has_bias else 2]
+        if dq_in_scratch:
+            dq = (dqp[:, :, :sq] * sm_scale).astype(q.dtype)
+        else:
+            dq = (dqp.sum(axis=2)[:, :, :sq] * sm_scale).astype(q.dtype)
+        return dq, dk, dv, dbias
 
-    # ---- dQ kernel: grid (b, h, q-block, kv-block) ----
+    # ---- dQ kernel (fallback: single KV block, or dq scratch AND
+    # workspace both unaffordable): grid (b, h, q-block, kv-block) ----
     bq2, bk2 = block_sizes.block_q_dq, block_sizes.block_k_dq
     bq2 = min(bq2, round_up(sq, 128))
     bk2 = min(bk2, round_up(sk, 128))
@@ -1361,10 +1184,6 @@ def flash_attention_bwd(
 
 def _bwd_dkv_entry(*refs, params):
     _bwd_dkv_kernel(refs, params=params)
-
-
-def _bwd_merged_entry(*refs, params):
-    _bwd_merged_kernel(refs, params=params)
 
 
 def _bwd_dq_entry(*refs, params):
