@@ -146,8 +146,56 @@ def bench_decode_int8_roofline(b=8, h=32, hk=8, d=128, S=8192, n=512,
     return min(achieved / _chip_bw(), 1.0)
 
 
+def bench_paged_decode_int8_roofline(b=8, h=32, hk=8, d=128, S=8192,
+                                     page_size=512, n=512, rounds=4):
+    """Same geometry as the contiguous bench but against a PAGED int8
+    cache (BASELINE config #3's actual serving path): pages are gathered
+    multiple-per-grid-step with explicit double-buffered DMA."""
+    import statistics
+
+    import numpy as np
+
+    from xhy_flash_attention_tpu.inference.paged import (
+        PagedKVCache,
+        paged_flash_decode,
+    )
+    from xhy_flash_attention_tpu.ops.quant import quantize_kv
+
+    rng = np.random.default_rng(0)
+    npp = S // page_size
+    num_pages = b * npp + 2
+    q = jnp.asarray(rng.standard_normal((b, 1, h, d)), jnp.bfloat16)
+    kq = quantize_kv(
+        jnp.asarray(rng.standard_normal((num_pages, hk, page_size, d)),
+                    jnp.bfloat16), jnp.int8)
+    vq = quantize_kv(
+        jnp.asarray(rng.standard_normal((num_pages, hk, page_size, d)),
+                    jnp.bfloat16), jnp.int8)
+    # scatter the pages across the pool (worst-ish case for locality)
+    perm = rng.permutation(b * npp) + 1
+    table = jnp.asarray(perm.reshape(b, npp), jnp.int32)
+    cache = PagedKVCache(
+        k_pages=kq.values, v_pages=vq.values,
+        page_table=table, lengths=jnp.full((b,), S, jnp.int32),
+        k_scales=kq.scales[..., 0][:, :, None, :],
+        v_scales=vq.scales[..., 0][:, :, None, :],
+    )
+
+    def step(c):
+        x, cache = c
+        o = paged_flash_decode(x, cache, softmax_scale=d ** -0.5)
+        return o.reshape(x.shape), cache
+
+    dt = statistics.median(
+        _timed_chain(step, (q, cache), n) for _ in range(rounds)
+    )
+    bytes_read = 2 * b * hk * S * d * 1 + 2 * b * hk * S * 4  # int8 + scales
+    return min(bytes_read / dt / _chip_bw(), 1.0)
+
+
 def main():
     frac = bench_decode_int8_roofline()
+    paged_frac = bench_paged_decode_int8_roofline()
     tflops = bench_attention_fwd() / 1e12
     peak_frac = tflops / (_chip_peak() / 1e12)
     print(json.dumps({
@@ -156,6 +204,8 @@ def main():
         "unit": "fraction of HBM-bandwidth roofline (target >= 0.85)",
         "vs_baseline": round(frac / 0.85, 4),
         "extra": {
+            "paged_int8_decode_roofline_fraction_page512": round(
+                paged_frac, 4),
             "attn_fwd_causal_bf16_b4_s4096_h16_d128_tflops": round(tflops, 2),
             "attn_fwd_fraction_of_bf16_peak": round(peak_frac, 4),
         },
