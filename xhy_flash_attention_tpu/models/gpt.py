@@ -68,6 +68,12 @@ class GPTConfig:
     # rematerialize each block in backward (jax.checkpoint — trades ~1/3
     # more FLOPs for O(layers) less activation memory)
     remat: bool = False
+    # what remat keeps: "save_attn" saves the flash-attention outputs
+    # (out + lse, named in the kernel's custom_vjp) so the backward never
+    # re-runs the attention forward kernel — the most expensive recompute
+    # — for one (b, s, h, d) bf16 + (b, h, s) fp32 saved per layer;
+    # "nothing" recomputes everything (minimum memory)
+    remat_policy: str = "save_attn"
     # weight-only quantized projections: None | "int8" | "int4" (serving;
     # load weights via quantize_gpt_params)
     weight_quant: Optional[str] = None
@@ -205,9 +211,14 @@ class GPTModel(nn.Module):
         if use_remat:
             # deterministic and seqlen_offset are python statics (indices
             # count from self: self=0, hidden=1, residual=2, ...)
+            if c.remat_policy == "save_attn":
+                policy = jax.checkpoint_policies.save_only_these_names(
+                    "attn_out", "attn_lse")
+            else:
+                policy = jax.checkpoint_policies.nothing_saveable
             block_cls = nn.remat(
                 Block, static_argnums=(3, 6), prevent_cse=False,
-                policy=jax.checkpoint_policies.nothing_saveable,
+                policy=policy,
             )
         for i in range(c.num_hidden_layers):
             cache_i = kv_caches[i] if kv_caches is not None else None

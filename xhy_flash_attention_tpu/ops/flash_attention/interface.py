@@ -103,6 +103,14 @@ def _make_attention_fn(static: _Static, return_lse: bool):
             q, k, v, bias, q_seg, kv_seg, dropout_seed=seed,
             q_positions=qpos, kv_positions=kpos, **kw
         )
+        # named for remat policies: with GPTConfig.remat_policy =
+        # "save_attn" (jax save_only_these_names), the backward reuses
+        # these residuals instead of re-running the forward kernel —
+        # remat then skips exactly the most expensive recompute
+        from jax.ad_checkpoint import checkpoint_name
+
+        out = checkpoint_name(out, "attn_out")
+        lse = checkpoint_name(lse, "attn_lse")
         res = (q, k, v, bias, q_seg, kv_seg, qpos, kpos, seed, out, lse)
         return ((out, lse) if return_lse else out), res
 
