@@ -682,3 +682,51 @@ def test_flash_attn_merged_bwd_small_blocks(causal, dropout_p, dq_variant,
     check_contract(dq, dq_ref, dq_lp, "dq")
     check_contract(dk, dk_ref, dk_lp, "dk")
     check_contract(dv, dv_ref, dv_lp, "dv")
+
+
+def test_flat_causal_iteration_matches_rectangular():
+    """The flat lower-triangle grid (fwd.py flat_causal) must engage for
+    pure aligned causal and reproduce the rectangular grid bitwise —
+    identical per-row KV visit order means identical accumulation order."""
+    import xhy_flash_attention_tpu.ops.flash_attention.fwd as F
+
+    key = jax.random.PRNGKey(0)
+    kq, kk, kv = jax.random.split(key, 3)
+    b, h, hk, s, d = 2, 4, 2, 1024, 64
+    bs = BlockSizes(block_q=256, block_k=256)
+    q = _rand(kq, (b, h, s, d), jnp.bfloat16)
+    k = _rand(kk, (b, hk, s, d), jnp.bfloat16)
+    v = _rand(kv, (b, hk, s, d), jnp.bfloat16)
+
+    grids = []
+    orig = F.pl.pallas_call
+
+    def spy(kernel, *a, grid_spec=None, **kw):
+        grids.append(grid_spec.grid)
+        return orig(kernel, *a, grid_spec=grid_spec, **kw)
+
+    outs = {}
+    try:
+        F.pl.pallas_call = spy
+        for flat in (False, True):
+            old = F.FLAT_CAUSAL
+            F.FLAT_CAUSAL = flat
+            try:
+                o, lse = F.flash_attention_fwd(
+                    q, k, v, sm_scale=d**-0.5, causal=True, block_sizes=bs
+                )
+                od, _ = F.flash_attention_fwd(
+                    q, k, v, sm_scale=d**-0.5, causal=True, dropout_p=0.2,
+                    dropout_seed=jnp.int32(7), block_sizes=bs
+                )
+            finally:
+                F.FLAT_CAUSAL = old
+            outs[flat] = (np.asarray(o), np.asarray(lse), np.asarray(od))
+    finally:
+        F.pl.pallas_call = orig
+
+    # nq = 4 -> 10 lower-triangle pairs vs 4x4 rectangular
+    assert grids[2][2:] == (10,), grids
+    assert grids[0][2:] == (4, 4), grids
+    for a, bv, name in zip(outs[False], outs[True], ["out", "lse", "out_drop"]):
+        assert np.array_equal(a, bv), name

@@ -37,6 +37,7 @@ TPU-native re-design of the reference recompute-based backward
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional, Tuple
 
 import jax
@@ -71,6 +72,11 @@ MERGED_DQ_SCRATCH_CAP = 40 * 2**20
 # Cap on the fp32 (b, h, nkv, sq, d) dq partials workspace used when the
 # VMEM scratch doesn't fit; beyond this the split two-kernel path runs.
 MERGED_DQ_WORKSPACE_CAP = 2 * 1024**3
+
+# Flat causal iteration for the merged backward (dead-step-free
+# lower-triangle grid, mirror of fwd.py). XFA_FLAT_CAUSAL=0 restores the
+# rectangular grid (A/B lever).
+FLAT_CAUSAL = os.environ.get("XFA_FLAT_CAUSAL", "1") == "1"
 
 
 def _recompute_p_ds(
@@ -167,6 +173,10 @@ def _bwd_dkv_kernel(refs, *, params):
         ksst_ref = next(it)
     if params.get("has_eff", False):
         next(it)  # effective-fetch DMA table: used by index maps only
+    flat_iter = params.get("flat_iter", False)
+    if flat_iter:
+        ikvt_ref = next(it)
+        jt_ref = next(it)
     q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref = (
         next(it), next(it), next(it), next(it), next(it), next(it),
     )
@@ -189,7 +199,16 @@ def _bwd_dkv_kernel(refs, *, params):
     dq_scr = next(it) if (with_dq and dq_in_scratch) else None
 
     b_idx, h_idx = pl.program_id(0), pl.program_id(1)
-    ikv, j_inner = pl.program_id(2), pl.program_id(3)
+    if flat_iter:
+        # Flat causal iteration: one sequential axis over the visited
+        # lower-triangle (kv-block, q-block x group) pairs only — the
+        # rectangular grid's dead iq < ikv steps never run (mirror of the
+        # fwd kernel's flat_causal; see fwd.py)
+        t = pl.program_id(2)
+        ikv = ikvt_ref[t]
+        j_inner = jt_ref[t]
+    else:
+        ikv, j_inner = pl.program_id(2), pl.program_id(3)
     bq, bk = params["block_q"], params["block_k"]
     sq, sk = params["seqlen_q"], params["seqlen_k"]
     offset = params["offset"]
@@ -217,7 +236,9 @@ def _bwd_dkv_kernel(refs, *, params):
     num_heads = params.get("num_heads", pl.num_programs(1))
     dbias_group_acc = params.get("dbias_group_acc", False)
 
-    @pl.when(j_inner == 0)
+    # first visited j of kv sweep ikv: 0 on the rectangular grid; the
+    # diagonal q-block (iq == ikv, member 0) on the flat causal grid
+    @pl.when(j_inner == ikv * g if flat_iter else j_inner == 0)
     def _init():
         dk_scr[...] = jnp.zeros_like(dk_scr)
         dv_scr[...] = jnp.zeros_like(dv_scr)
@@ -405,12 +426,17 @@ def _bwd_dkv_kernel(refs, *, params):
             dq_ref[0, 0, 0] = jnp.zeros_like(dq_ref[0, 0, 0])
 
     if with_dq and dq_in_scratch:
-        # the dq output block is only addressed (by the out spec's index
-        # clamp) during the final kv sweep; earlier sweeps never change
-        # the out index, so no dead writebacks occur
+        # Rectangular grid: every q-block's dq is complete only at the
+        # final kv sweep, so emission (and the out spec's index change)
+        # happens there; earlier sweeps keep the out index frozen so no
+        # dead writebacks occur. Flat causal grid: q-block iq's LAST
+        # visit is its diagonal sweep (later sweeps ikv > iq never touch
+        # it), so dq emits at ikv == iq — the first g steps of each
+        # sweep — and the out spec freezes on the just-emitted block in
+        # between (rewriting identical data at sweep transitions).
         nkv = params["num_kv_blocks"]
 
-        @pl.when(ikv == nkv - 1)
+        @pl.when(ikv == iq if flat_iter else ikv == nkv - 1)
         def _emit_dq():
             dq_ref[0, 0] = dq_scr[j_inner]
 
@@ -735,14 +761,19 @@ def flash_attention_bwd(
         deltap = pad_to_block(
             jnp.broadcast_to(delta[..., None], delta.shape + (8,)), 2, bq
         )
+        # *a-style index maps: a = (b_, h_, i, j, *scalar_refs) for the
+        # rectangular grids, (b_, h_, t, *scalar_refs) for the flat causal
+        # grid — the provided kv_index/q_index/qh_map match the grid arity
         inputs = [qp, kp, vp, dop, lsep, deltap]
+        q_spec = lambda *a: (a[0], qh_map(*a), q_index(*a), 0)
+        kv_spec = lambda *a: (a[0], kh_map(a[1]), kv_index(*a), 0)
         specs = [
-            pl.BlockSpec((1, 1, bq, d), lambda b_, h_, i, j, *r: (b_, qh_map(b_, h_, i, j, *r), q_index(b_, h_, i, j, *r), 0)),
-            pl.BlockSpec((1, 1, bk, d), lambda b_, h_, i, j, *r: (b_, kh_map(h_), kv_index(b_, h_, i, j, *r), 0)),
-            pl.BlockSpec((1, 1, bk, d), lambda b_, h_, i, j, *r: (b_, kh_map(h_), kv_index(b_, h_, i, j, *r), 0)),
-            pl.BlockSpec((1, 1, bq, d), lambda b_, h_, i, j, *r: (b_, qh_map(b_, h_, i, j, *r), q_index(b_, h_, i, j, *r), 0)),
-            pl.BlockSpec((1, 1, bq, 8), lambda b_, h_, i, j, *r: (b_, qh_map(b_, h_, i, j, *r), q_index(b_, h_, i, j, *r), 0)),
-            pl.BlockSpec((1, 1, bq, 8), lambda b_, h_, i, j, *r: (b_, qh_map(b_, h_, i, j, *r), q_index(b_, h_, i, j, *r), 0)),
+            pl.BlockSpec((1, 1, bq, d), q_spec),
+            pl.BlockSpec((1, 1, bk, d), kv_spec),
+            pl.BlockSpec((1, 1, bk, d), kv_spec),
+            pl.BlockSpec((1, 1, bq, d), q_spec),
+            pl.BlockSpec((1, 1, bq, 8), q_spec),
+            pl.BlockSpec((1, 1, bq, 8), q_spec),
         ]
         if has_bias:
             bp = pad_to_block(pad_to_block(bias, 3, bk), 2, bq)
@@ -750,11 +781,11 @@ def flash_attention_bwd(
             specs.append(
                 pl.BlockSpec(
                     (1, 1, bq, bk),
-                    lambda b_, h_, i, j, *r, bb=bb, bh=bh: (
-                        b_ if bb > 1 else 0,
-                        qh_map(b_, h_, i, j, *r) if bh > 1 else 0,
-                        q_index(b_, h_, i, j, *r),
-                        kv_index(b_, h_, i, j, *r),
+                    lambda *a, bb=bb, bh=bh: (
+                        a[0] if bb > 1 else 0,
+                        qh_map(*a) if bh > 1 else 0,
+                        q_index(*a),
+                        kv_index(*a),
                     ),
                 )
             )
@@ -767,10 +798,10 @@ def flash_attention_bwd(
                 kv_segment_ids.astype(jnp.int32), 1, bk
             )[:, None, :]
             specs.append(pl.BlockSpec(
-                (1, bq, 1), lambda b_, h_, i, j, *r: (b_, q_index(b_, h_, i, j, *r), 0)
+                (1, bq, 1), lambda *a: (a[0], q_index(*a), 0)
             ))
             specs.append(pl.BlockSpec(
-                (1, 1, bk), lambda b_, h_, i, j, *r: (b_, 0, kv_index(b_, h_, i, j, *r))
+                (1, 1, bk), lambda *a: (a[0], 0, kv_index(*a))
             ))
             inputs.extend([qsegp, ksegp])
         if has_flashmask:
@@ -779,10 +810,7 @@ def flash_attention_bwd(
             fm_g = h // fm_heads
             specs.append(pl.BlockSpec(
                 (1, 1, nv, bk),
-                lambda b_, h_, i, j, *r: (
-                    b_, qh_map(b_, h_, i, j, *r) // fm_g, 0,
-                    kv_index(b_, h_, i, j, *r),
-                ),
+                lambda *a: (a[0], qh_map(*a) // fm_g, 0, kv_index(*a)),
             ))
             inputs.append(fmp)
         if has_positions:
@@ -791,10 +819,10 @@ def flash_attention_bwd(
             qposp, _ = pos_pad_and_stats(q_positions, bq)
             kposp, _ = pos_pad_and_stats(kv_positions, bk)
             specs.append(pl.BlockSpec(
-                (1, bq, 1), lambda b_, h_, i, j, *r: (b_, q_index(b_, h_, i, j, *r), 0)
+                (1, bq, 1), lambda *a: (a[0], q_index(*a), 0)
             ))
             specs.append(pl.BlockSpec(
-                (1, 1, bk), lambda b_, h_, i, j, *r: (b_, 0, kv_index(b_, h_, i, j, *r))
+                (1, 1, bk), lambda *a: (a[0], 0, kv_index(*a))
             ))
             inputs.extend([qposp[:, :, None], kposp[:, None, :]])
         return inputs, specs, qp.shape[2], kp.shape[2]
@@ -964,6 +992,20 @@ def flash_attention_bwd(
         dq_in_scratch or workspace_bytes <= MERGED_DQ_WORKSPACE_CAP
     )
 
+    # Flat causal iteration (mirror of fwd.py flat_causal): collapse
+    # (ikv, j) into one sequential axis over the visited lower-triangle
+    # pairs. Needs the aligned pure-causal geometry, no feature that
+    # indexes by the raw rectangular step (bias dbias out-spec, eff
+    # tables), and the dq-in-VMEM merged mode (the HBM-workspace mode
+    # relies on dead steps zeroing their partial blocks).
+    flat_causal = (
+        FLAT_CAUSAL and has_right and offset + window_size[1] == 0
+        and not has_left and not has_bias and not has_segments
+        and not has_flashmask and not has_blockmask and not has_positions
+        and bq1 == bk1 and sq == sk and sq % bq1 == 0
+        and with_dq and dq_in_scratch
+    )
+
     def _iq_of(j):
         return j // g if g > 1 else j
 
@@ -999,10 +1041,34 @@ def flash_attention_bwd(
         def q_index_dkv(b_, h_, ikv, j, *refs):
             return _eff_raw(b_, qh_map_dkv(b_, h_, ikv, j, *refs),
                             ikv, _iq_of(j), *refs)
+    flat_tabs1 = []
+    if flat_causal:
+        pairs1 = [
+            (ikv, iq * g + gi)
+            for ikv in range(nkv1)
+            for iq in range(ikv, nq1)
+            for gi in range(g)
+        ]
+        flat_tabs1 = [
+            jnp.asarray([p[0] for p in pairs1], jnp.int32),
+            jnp.asarray([p[1] for p in pairs1], jnp.int32),
+        ]
+        # the flat tables are the last two scalar-prefetch refs (eff is
+        # excluded by the flat gate); maps get (b_, h_, t, *scalar_refs)
+        kv_index1 = lambda b_, h_, t, *r: r[-2][t]
+        q_index1 = lambda b_, h_, t, *r: _iq_of(r[-1][t])
+        qh_map1 = (
+            (lambda b_, h_, t, *r: h_ * g + r[-1][t] % g)
+            if g > 1 else (lambda b_, h_, t, *r: h_)
+        )
+    else:
+        kv_index1 = lambda b_, h_, ikv, j, *r: ikv
+        q_index1 = q_index_dkv
+        qh_map1 = qh_map_dkv
     inputs1, specs1, sqp1, skp1 = make_common(
         bq1, bk1, nq1, nkv1,
-        kv_index=lambda b_, h_, ikv, j, *r: ikv, q_index=q_index_dkv,
-        qh_map=qh_map_dkv, kh_map=lambda h_: h_,
+        kv_index=kv_index1, q_index=q_index1,
+        qh_map=qh_map1, kh_map=lambda h_: h_,
     )
     params1 = dict(
         group=g, num_heads=h, dbias_group_acc=dbias_group_acc,
@@ -1019,10 +1085,15 @@ def flash_attention_bwd(
         has_positions=has_positions,
         has_eff=use_eff,
         pos_window=pos_window,
+        flat_iter=flat_causal,
     )
+    if flat_causal:
+        dkv_map = lambda b_, h_, t, *r: (b_, h_, r[-2][t], 0)
+    else:
+        dkv_map = lambda b_, h_, ikv, j, *_: (b_, h_, ikv, 0)
     out_specs1 = [
-        pl.BlockSpec((1, 1, bk1, d), lambda b_, h_, ikv, j, *_: (b_, h_, ikv, 0)),
-        pl.BlockSpec((1, 1, bk1, d), lambda b_, h_, ikv, j, *_: (b_, h_, ikv, 0)),
+        pl.BlockSpec((1, 1, bk1, d), dkv_map),
+        pl.BlockSpec((1, 1, bk1, d), dkv_map),
     ]
     out_shapes1 = [
         jax.ShapeDtypeStruct((b, hk, skp1, d), jnp.float32),
@@ -1057,14 +1128,27 @@ def flash_attention_bwd(
     ]
     if with_dq:
         if dq_in_scratch:
-            def dq_idx(b_, h_, ikv, j, *r):
-                # only addressed during the final kv sweep; clamped to a
-                # constant earlier so revisiting never triggers a
-                # writeback of the untouched buffer
-                last = ikv == nkv1 - 1
-                qh = qh_map_dkv(b_, h_, ikv, j, *r)
-                return (b_, jnp.where(last, qh, h_ * g),
-                        jnp.where(last, _iq_of(j), 0), 0)
+            if flat_causal:
+                def dq_idx(b_, h_, t, *r):
+                    # emit on the diagonal (ikv == iq, the first g steps
+                    # of each kv sweep); in between, freeze on the LAST
+                    # emitted block so the only extra writeback rewrites
+                    # identical data (see kernel _emit_dq comment)
+                    ikv_, j_ = r[-2][t], r[-1][t]
+                    emit = _iq_of(j_) == ikv_
+                    qh = h_ * g + j_ % g if g > 1 else h_
+                    return (
+                        b_, jnp.where(emit, qh, h_ * g + g - 1), ikv_, 0
+                    )
+            else:
+                def dq_idx(b_, h_, ikv, j, *r):
+                    # only addressed during the final kv sweep; clamped to a
+                    # constant earlier so revisiting never triggers a
+                    # writeback of the untouched buffer
+                    last = ikv == nkv1 - 1
+                    qh = qh_map_dkv(b_, h_, ikv, j, *r)
+                    return (b_, jnp.where(last, qh, h_ * g),
+                            jnp.where(last, _iq_of(j), 0), 0)
 
             out_specs1.append(pl.BlockSpec((1, 1, bq1, d), dq_idx))
             out_shapes1.append(
@@ -1082,8 +1166,11 @@ def flash_attention_bwd(
     results1 = pl.pallas_call(
         functools.partial(_bwd_dkv_entry, params=params1),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=num_prefetch,
-            grid=(b, hk, nkv1, nq1 * g),
+            num_scalar_prefetch=num_prefetch + (2 if flat_causal else 0),
+            grid=(
+                (b, hk, len(pairs1)) if flat_causal
+                else (b, hk, nkv1, nq1 * g)
+            ),
             in_specs=specs1,
             out_specs=out_specs1,
             scratch_shapes=dkv_scratch,
@@ -1093,9 +1180,11 @@ def flash_attention_bwd(
             # dq scratch accumulation needs the kv axis sequential;
             # otherwise it can split across megacore
             dimension_semantics=(
-                "parallel", "parallel",
-                "arbitrary" if (with_dq and dq_in_scratch) else "parallel",
-                "arbitrary",
+                ("parallel", "parallel", "arbitrary") if flat_causal else (
+                    "parallel", "parallel",
+                    "arbitrary" if (with_dq and dq_in_scratch) else "parallel",
+                    "arbitrary",
+                )
             ),
             vmem_limit_bytes=max(
                 64 * 2**20,
@@ -1105,7 +1194,8 @@ def flash_attention_bwd(
         ),
         interpret=interp,
     )(*seed_input, *fm_prefetch(bk1), *bm_prefetch(bq1, bk1, nq1, nkv1),
-      *pos_prefetch(bq1, bk1), *seg_prefetch(bq1, bk1), *eff1, *inputs1)
+      *pos_prefetch(bq1, bk1), *seg_prefetch(bq1, bk1), *eff1, *flat_tabs1,
+      *inputs1)
     dk_ph, dv_ph = results1[0], results1[1]
     dbias = None
     if has_bias:

@@ -61,6 +61,11 @@ MIN_LANES = 128
 # seeded variant (A/B lever).
 ZERO_SEED = os.environ.get("XFA_ZERO_SEED", "1") == "1"
 
+# Flat causal iteration (dead-step-free lower-triangle grid; see
+# flash_attention_fwd). XFA_FLAT_CAUSAL=0 restores the rectangular
+# grid (A/B lever).
+FLAT_CAUSAL = os.environ.get("XFA_FLAT_CAUSAL", "1") == "1"
+
 
 def _fwd_kernel(
     refs,
@@ -92,6 +97,8 @@ def _fwd_kernel(
     has_segstats: bool = False,
     diag_mask_tile: bool = False,
     zero_seed: bool = False,
+    flat_iter: bool = False,
+    bshd: bool = False,
 ):
     it = iter(refs)
     if dropout_p > 0.0:
@@ -108,6 +115,9 @@ def _fwd_kernel(
         ksst_ref = next(it)
     if has_eff:
         next(it)  # effective-kv DMA table: consumed by the index maps only
+    if flat_iter:
+        iqt_ref = next(it)
+        ikvt_ref = next(it)
     q_ref = next(it)
     k_ref = next(it)
     v_ref = next(it)
@@ -126,8 +136,19 @@ def _fwd_kernel(
 
     b_idx = pl.program_id(0)
     h_idx = pl.program_id(1)
-    iq = pl.program_id(2)
-    ikv = pl.program_id(3)
+    if flat_iter:
+        # Flat causal iteration: the (iq, kv) plane is collapsed to ONE
+        # sequential axis that enumerates only the visited lower-triangle
+        # pairs (scalar-prefetched tables), so the skipped upper-triangle
+        # steps of the rectangular grid never run at all (≙ the reference's
+        # n_block_max clamp, flash_fwd_kernel.h:147-153 — there the inner
+        # KV loop simply starts at the diagonal).
+        t = pl.program_id(2)
+        iq = iqt_ref[t]
+        ikv = ikvt_ref[t]
+    else:
+        iq = pl.program_id(2)
+        ikv = pl.program_id(3)
 
     @pl.when(ikv == 0)
     def _init():
@@ -266,8 +287,13 @@ def _fwd_kernel(
         # (bq, bk) score matrix — d/bk fewer VPU ops; this is the
         # reorder_ops=True operand ordering the reference's low-precision
         # baseline defines the error contract around
-        q = (q_ref[0, 0].astype(jnp.float32) * sm_scale).astype(q_ref.dtype)
-        k = k_ref[0, 0]
+        # bshd: blocks are (1, bq, 1, d) strided slices of the untransposed
+        # (b, s, h, d) arrays — the kernel consumes the user layout
+        # directly (≙ the reference kernels' native (b, s, h, d) layout,
+        # flash_fwd_kernel.h), killing the interface transposes
+        q_raw = q_ref[0, :, 0] if bshd else q_ref[0, 0]
+        q = (q_raw.astype(jnp.float32) * sm_scale).astype(q_ref.dtype)
+        k = k_ref[0, :, 0] if bshd else k_ref[0, 0]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
@@ -312,7 +338,7 @@ def _fwd_kernel(
             kseg = kseg_ref[0]        # (1, bk)
             s = jnp.where(qseg == kseg, s, NEG_INF)
 
-        v = v_ref[0, 0]
+        v = v_ref[0, :, 0] if bshd else v_ref[0, 0]
         if defer:
             # Deferred-shift online softmax: the serialized chain
             # QK-matmul -> full max reduce -> exp was the kernel's critical
@@ -409,11 +435,17 @@ def _fwd_kernel(
     else:
         dispatch(should_run, False)
 
-    @pl.when(ikv == num_kv_blocks - 1)
+    # flat causal iteration visits row iq's KV blocks 0..iq (bq == bk), so
+    # its last sequential step is ikv == iq, not nkv - 1
+    @pl.when(ikv == iq if flat_iter else ikv == num_kv_blocks - 1)
     def _finish():
         l = l_scr[:, :1]
         l_inv = jnp.where(l == 0.0, 0.0, 1.0 / l)
-        o_ref[0, 0] = (acc_scr[...] * l_inv).astype(o_ref.dtype)
+        o_val = (acc_scr[...] * l_inv).astype(o_ref.dtype)
+        if bshd:
+            o_ref[0, :, 0] = o_val
+        else:
+            o_ref[0, 0] = o_val
         if lse_ref is not None:
             # lane-replicated x8 (Mosaic block rule: last dim == array dim)
             m8 = m_scr[:, :8]
@@ -445,8 +477,13 @@ def flash_attention_fwd(
     block_mask: Optional[jax.Array] = None,
     q_positions: Optional[jax.Array] = None,
     kv_positions: Optional[jax.Array] = None,
+    bshd: bool = False,
 ) -> Tuple[jax.Array, Optional[jax.Array]]:
     """Forward flash attention on (batch, heads, seq, head_dim) inputs.
+
+    bshd=True consumes/produces the reference's (batch, seq, heads,
+    head_dim) layout directly via strided blocks — no transposes. Only
+    the plain/causal/window/softcap/dropout path; lse stays (b, h, sq).
 
     Returns (out, lse) with lse = logsumexp of scaled scores, shape (b, h, sq),
     fp32 (≙ reference softmax_lse, flash_api.cpp mha_fwd); lse is None when
@@ -466,8 +503,16 @@ def flash_attention_fwd(
     if q_positions is not None:
         pos_window = window_size
         window_size = (-1, -1)
-    b, h, sq, d = q.shape
-    _, hk, sk, _ = k.shape
+    if bshd:
+        if (bias is not None or q_segment_ids is not None
+                or flashmask_vecs is not None or block_mask is not None
+                or q_positions is not None):
+            raise ValueError("bshd layout supports only the plain path")
+        b, sq, h, d = q.shape
+        _, sk, hk, _ = k.shape
+    else:
+        b, h, sq, d = q.shape
+        _, hk, sk, _ = k.shape
     assert h % hk == 0, (h, hk)
     if block_sizes is None:
         block_sizes = BlockSizes.for_shape(sq, sk, d, q.dtype)
@@ -476,10 +521,11 @@ def flash_attention_fwd(
     bk = min(block_sizes.block_k, round_up(sk, 128))
     g = h // hk
 
-    qp = pad_to_block(q, 2, bq)
-    kp = pad_to_block(k, 2, bk)
-    vp = pad_to_block(v, 2, bk)
-    sqp, skp = qp.shape[2], kp.shape[2]
+    s_axis = 1 if bshd else 2
+    qp = pad_to_block(q, s_axis, bq)
+    kp = pad_to_block(k, s_axis, bk)
+    vp = pad_to_block(v, s_axis, bk)
+    sqp, skp = qp.shape[s_axis], kp.shape[s_axis]
     nq, nkv = sqp // bq, skp // bk
     offset = sk - sq
     has_right = window_size[1] >= 0
@@ -616,19 +662,6 @@ def flash_attention_fwd(
             eff = refs[-1]
             hh = h_ // hog if ho > 1 else 0
             return eff[((b_ * ho + hh) * nq + iq) * nkv + ikv]
-    inputs.extend([qp, kp, vp])
-    if has_eff:
-        kv_i = kv_index_eff
-    else:
-        kv_i = lambda b_, h_, iq, ikv, *r: kv_index(iq, ikv)
-    kv_blk = lambda b_, h_, iq, ikv, *r: (
-        b_, h_ // g, kv_i(b_, h_, iq, ikv, *r), 0
-    )
-    in_specs.extend([
-        pl.BlockSpec((1, 1, bq, d), lambda b_, h_, iq, ikv, *_: (b_, h_, iq, 0)),
-        pl.BlockSpec((1, 1, bk, d), kv_blk),
-        pl.BlockSpec((1, 1, bk, d), kv_blk),
-    ])
     # Pure aligned causal: every masked block is a diagonal block sharing
     # one (bq, bk) pattern — ship it once as a resident additive tile
     # (constant index map => a single DMA for the whole kernel) so the
@@ -638,15 +671,62 @@ def flash_attention_fwd(
         and bq == bk and sq == sk and sqp == sq and skp == sk
         and not has_flashmask and not has_positions
     )
+    # Flat causal iteration (see _fwd_kernel): collapse (iq, ikv) into one
+    # sequential axis over the visited lower-triangle pairs only. The
+    # rectangular grid steps through nq*nkv pairs and `should_run`-skips
+    # the upper triangle (37.5% dead steps at s=4096/1024² tiles); here
+    # those steps don't exist. Requires the aligned pure-causal geometry
+    # (bq == bk, every row's KV range is blocks 0..iq) and no
+    # feature that re-routes the KV index map.
+    flat_causal = (
+        FLAT_CAUSAL and diag_mask_tile and bias is None
+        and not has_segments and not has_blockmask and not has_eff
+    )
+    if flat_causal:
+        pairs = [(i, j) for i in range(nq) for j in range(i + 1)]
+        iq_tab = jnp.asarray([p[0] for p in pairs], jnp.int32)
+        ikv_tab = jnp.asarray([p[1] for p in pairs], jnp.int32)
+        inputs.extend([iq_tab, ikv_tab])
+        num_scalar_prefetch += 2
+    inputs.extend([qp, kp, vp])
+    if flat_causal:
+        # scalar-prefetch refs arrive in order after the grid ids; the
+        # flat tables are always the last two (eff is excluded above)
+        if bshd:
+            q_map = lambda b_, h_, t, *r: (b_, r[-2][t], h_, 0)
+            kv_blk = lambda b_, h_, t, *r: (b_, r[-1][t], h_ // g, 0)
+        else:
+            q_map = lambda b_, h_, t, *r: (b_, h_, r[-2][t], 0)
+            kv_blk = lambda b_, h_, t, *r: (b_, h_ // g, r[-1][t], 0)
+    else:
+        if has_eff:
+            kv_i = kv_index_eff
+        else:
+            kv_i = lambda b_, h_, iq, ikv, *r: kv_index(iq, ikv)
+        if bshd:
+            q_map = lambda b_, h_, iq, ikv, *_: (b_, iq, h_, 0)
+            kv_blk = lambda b_, h_, iq, ikv, *r: (
+                b_, kv_i(b_, h_, iq, ikv, *r), h_ // g, 0
+            )
+        else:
+            q_map = lambda b_, h_, iq, ikv, *_: (b_, h_, iq, 0)
+            kv_blk = lambda b_, h_, iq, ikv, *r: (
+                b_, h_ // g, kv_i(b_, h_, iq, ikv, *r), 0
+            )
+    qblk_shape = (1, bq, 1, d) if bshd else (1, 1, bq, d)
+    kvblk_shape = (1, bk, 1, d) if bshd else (1, 1, bk, d)
+    in_specs.extend([
+        pl.BlockSpec(qblk_shape, q_map),
+        pl.BlockSpec(kvblk_shape, kv_blk),
+        pl.BlockSpec(kvblk_shape, kv_blk),
+    ])
     if diag_mask_tile:
         tri = (
             jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
             <= jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
         )
         inputs.append(jnp.where(tri, 0.0, NEG_INF).astype(jnp.bfloat16))
-        in_specs.append(
-            pl.BlockSpec((bq, bk), lambda b_, h_, iq, ikv, *_: (0, 0))
-        )
+        in_specs.append(pl.BlockSpec((bq, bk), lambda *_: (0, 0)))
     has_bias = bias is not None
     if has_bias:
         bias = jnp.asarray(bias)
@@ -709,16 +789,19 @@ def flash_attention_fwd(
         )
         inputs.extend([qposp[:, :, None], kposp[:, None, :]])
 
-    out_shape = [jax.ShapeDtypeStruct((b, h, sqp, d), q.dtype)]
-    out_specs = [
-        pl.BlockSpec((1, 1, bq, d), lambda b_, h_, iq, ikv, *_: (b_, h_, iq, 0)),
-    ]
+    out_shape = [jax.ShapeDtypeStruct(
+        (b, sqp, h, d) if bshd else (b, h, sqp, d), q.dtype)]
+    if flat_causal:
+        o_map = q_map
+        lse_map = lambda b_, h_, t, *r: (b_, h_, r[-2][t], 0)
+    else:
+        o_map = q_map
+        lse_map = lambda b_, h_, iq, ikv, *_: (b_, h_, iq, 0)
+    out_specs = [pl.BlockSpec(qblk_shape, o_map)]
     if need_lse:
-        # lane-replicated x8 (see kernel _finish)
+        # lane-replicated x8 (see kernel _finish); always (b, h, sq) layout
         out_shape.append(jax.ShapeDtypeStruct((b, h, sqp, 8), jnp.float32))
-        out_specs.append(
-            pl.BlockSpec((1, 1, bq, 8), lambda b_, h_, iq, ikv, *_: (b_, h_, iq, 0))
-        )
+        out_specs.append(pl.BlockSpec((1, 1, bq, 8), lse_map))
 
     kernel = functools.partial(
         _fwd_kernel_entry,
@@ -747,6 +830,8 @@ def flash_attention_fwd(
         pos_window=pos_window,
         has_segstats=has_segments,
         diag_mask_tile=diag_mask_tile,
+        flat_iter=flat_causal,
+        bshd=bshd,
         # Deferred-shift softmax needs every q row to have at least one
         # visible key in the ikv==0 seed block: true for plain/causal/
         # bias/dropout/right-window (offset >= 0) attention, but not once
@@ -766,7 +851,7 @@ def flash_attention_fwd(
         zero_seed=ZERO_SEED and not has_bias,
     )
 
-    grid = (b, h, nq, nkv)
+    grid = (b, h, len(pairs)) if flat_causal else (b, h, nq, nkv)
     flops_factor = 1.0
     if has_right and offset + window_size[1] == 0:
         flops_factor = 0.5
@@ -794,7 +879,10 @@ def flash_attention_fwd(
         ),
         out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+            dimension_semantics=(
+                ("parallel", "parallel", "arbitrary") if flat_causal
+                else ("parallel", "parallel", "parallel", "arbitrary")
+            ),
             # the seed+deferred branch pair needs ~16.2MB of scoped VMEM at
             # 1024^2 blocks; v5e has headroom above the 16MB default
             vmem_limit_bytes=64 * 2**20,
@@ -802,10 +890,11 @@ def flash_attention_fwd(
         cost_estimate=cost,
         interpret=interpret_mode() if interpret is None else interpret,
     )(*inputs)
+    osl = (lambda o: o[:, :sq]) if bshd else (lambda o: o[:, :, :sq])
     if need_lse:
         out, lse = results
-        return out[:, :, :sq], lse[:, :, :sq, 0]
-    return results[0][:, :, :sq], None
+        return osl(out), lse[:, :, :sq, 0]
+    return osl(results[0]), None
 
 
 def _fwd_kernel_entry(*refs, **params):
