@@ -174,9 +174,8 @@ def bench_paged_decode_int8_roofline(b=8, h=32, hk=8, d=128, S=8192,
     # scatter the pages across the pool (worst-ish case for locality)
     perm = rng.permutation(b * npp) + 1
     table = jnp.asarray(perm.reshape(b, npp), jnp.int32)
-    cache = PagedKVCache(
-        k_pages=kq.values, v_pages=vq.values,
-        page_table=table, lengths=jnp.full((b,), S, jnp.int32),
+    cache = PagedKVCache.from_kv(
+        kq.values, vq.values, table, jnp.full((b,), S, jnp.int32),
         k_scales=kq.scales[..., 0][:, :, None, :],
         v_scales=vq.scales[..., 0][:, :, None, :],
     )

@@ -58,8 +58,8 @@ def make_cache(page_size, dtype):
             rng.standard_normal((num_pages, HK, page_size, D)), dtype)
     perm = rng.permutation(B * npp) + 1
     table = jnp.asarray(perm.reshape(B, npp), jnp.int32)
-    return PagedKVCache(k_pages=kp, v_pages=vp, page_table=table,
-                        lengths=jnp.full((B,), S, jnp.int32), **kw)
+    return PagedKVCache.from_kv(kp, vp, table,
+                                jnp.full((B,), S, jnp.int32), **kw)
 
 
 def probe(page_size, dtype, n=512, rounds=3):

@@ -71,12 +71,12 @@ def run():
         npp = S // ps
         num_pages = b * npp + 1
         table = jnp.arange(b * npp, dtype=jnp.int32).reshape(b, npp)
-        cache = PagedKVCache(
-            k_pages=k.transpose(0, 2, 1, 3).reshape(b * npp, ps, hk, d)
+        cache = PagedKVCache.from_kv(
+            k.transpose(0, 2, 1, 3).reshape(b * npp, ps, hk, d)
             .transpose(0, 2, 1, 3),
-            v_pages=v.transpose(0, 2, 1, 3).reshape(b * npp, ps, hk, d)
+            v.transpose(0, 2, 1, 3).reshape(b * npp, ps, hk, d)
             .transpose(0, 2, 1, 3),
-            page_table=table, lengths=lengths,
+            table, lengths,
         )
 
         def pstep(c):

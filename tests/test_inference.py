@@ -36,10 +36,9 @@ def _random_cache_setup(rng, b, hk, d, page_size, lengths):
             k_pages[p] = k[i, :, blk * page_size:(blk + 1) * page_size]
             v_pages[p] = v[i, :, blk * page_size:(blk + 1) * page_size]
             p += 1
-    cache = PagedKVCache(
-        k_pages=jnp.asarray(k_pages), v_pages=jnp.asarray(v_pages),
-        page_table=jnp.asarray(table),
-        lengths=jnp.asarray(lengths, jnp.int32),
+    cache = PagedKVCache.from_kv(
+        jnp.asarray(k_pages), jnp.asarray(v_pages),
+        jnp.asarray(table), jnp.asarray(lengths, jnp.int32),
     )
     return jnp.asarray(k), jnp.asarray(v), cache
 
@@ -306,10 +305,10 @@ def test_paged_decode_int8_matches_bf16():
 
     kq = quantize_kv(cache.k_pages.reshape(-1, 1, ps, d), jnp.int8)
     vq = quantize_kv(cache.v_pages.reshape(-1, 1, ps, d), jnp.int8)
-    qcache = PagedKVCache(
-        k_pages=kq.values.reshape(cache.k_pages.shape),
-        v_pages=vq.values.reshape(cache.v_pages.shape),
-        page_table=cache.page_table, lengths=cache.lengths,
+    qcache = PagedKVCache.from_kv(
+        kq.values.reshape(cache.k_pages.shape),
+        vq.values.reshape(cache.v_pages.shape),
+        cache.page_table, cache.lengths,
         k_scales=kq.scales.reshape(cache.k_pages.shape[0], hk, ps)[:, :, None, :],
         v_scales=vq.scales.reshape(cache.v_pages.shape[0], hk, ps)[:, :, None, :],
     )
@@ -410,11 +409,8 @@ def test_paged_prefill_chunked(qdtype):
     table = np.full((b, 3), 7, np.int32)
     table[0] = [0, 1, 2]
     table[1] = [3, 4, 5]
-    cache = PagedKVCache(
-        k_pages=cache.k_pages, v_pages=cache.v_pages,
-        page_table=jnp.asarray(table), lengths=cache.lengths,
-        k_scales=cache.k_scales, v_scales=cache.v_scales,
-    )
+    import dataclasses as _dc
+    cache = _dc.replace(cache, page_table=jnp.asarray(table))
     q_all = jnp.asarray(rng.standard_normal((b, total, h, d)), jnp.float32)
     k_all = jnp.asarray(rng.standard_normal((b, total, hk, d)), jnp.float32)
     v_all = jnp.asarray(rng.standard_normal((b, total, hk, d)), jnp.float32)
@@ -500,7 +496,7 @@ def test_fused_decode_step(kind):
             for t in range(int(lengths[i])):
                 kp = kp.at[table[i][t // ps], :, t % ps].set(k0[i, :, t])
                 vp = vp.at[table[i][t // ps], :, t % ps].set(v0[i, :, t])
-        cache = PagedKVCache(kp, vp, jnp.asarray(table), lengths)
+        cache = PagedKVCache.from_kv(kp, vp, jnp.asarray(table), lengths)
         atol = 1e-5
     out, new_cache = fused_decode_step(
         q, k_new, v_new, cache,
@@ -570,3 +566,24 @@ def test_engine_tensor_parallel_matches_single():
         out, margins = _greedy_manual(model, params, list(prompt), 4)
         _assert_tokens_match_modulo_ties(got[i], out, margins)
         _assert_tokens_match_modulo_ties(golden[i], out, margins)
+
+
+def test_paged_chunked_mixed_lengths_and_empty_slots():
+    """The chunked paged kernel's cross-cell issue-ahead must stay
+    correct (semaphores balanced, no stale-buffer reads) with empty
+    continuous-batching slots and lengths far shorter than the chunk:
+    per-page validity guards skip the gathers past each sequence's last
+    page, and the next-valid-cell table hops over dead slots."""
+    rng = np.random.default_rng(9)
+    b, hk, d, ps = 4, 2, 64, 128
+    h = 2 * hk
+    # slot 1 empty; slot 3 a single token; slot 0 spans several pages
+    lengths = [1000, 0, 77, 1]
+    k, v, cache = _random_cache_setup(rng, b, hk, d, ps, lengths)
+    q = jnp.asarray(rng.standard_normal((b, 1, h, d)), jnp.float32)
+    out = paged_flash_decode(q, cache, softmax_scale=d ** -0.5)
+    ref = _decode_attention_xla(
+        q, k, v, jnp.asarray(lengths, jnp.int32), d ** -0.5)
+    live = np.asarray(lengths) > 0
+    np.testing.assert_allclose(
+        np.asarray(out)[live], np.asarray(ref)[live], atol=2e-5, rtol=1e-4)

@@ -34,7 +34,7 @@ __all__ = ["Request", "InferenceEngine"]
 
 
 @jax.jit
-def _scatter_prefill(caches, new_kv, page_map, lengths_new):
+def _scatter_prefill(caches, new_kv, page_map, slot_ids, lengths_new):
     """Scatter bucketed prefill K/V into their pages: ONE device dispatch
     for all layers x requests x blocks. (The previous per-block
     dynamic_update_slice loop issued ~layers*blocks*2 dispatches, i.e.
@@ -42,7 +42,9 @@ def _scatter_prefill(caches, new_kv, page_map, lengths_new):
 
     page_map: (nb, cap // page_size) int32 physical page per (request,
     block); unused blocks point at the engine's trash page (a write sink).
-    lengths_new: (max_batch,) replacement lengths vector (host-computed).
+    slot_ids: (nb,) int32 batch slot per request (targets the linear
+    per-sequence scale buffer). lengths_new: (max_batch,) replacement
+    lengths vector (host-computed).
     """
     from ..ops.quant import quantize_kv
 
@@ -58,32 +60,35 @@ def _scatter_prefill(caches, new_kv, page_map, lengths_new):
             vc = jnp.pad(vc, ((0, 0), (0, 0), (0, pad), (0, 0)))
             cap = nblk * ps
 
-        def blocks(x, dtype):
-            xb = x.reshape(nb, hk, nblk, ps, d).transpose(0, 2, 1, 3, 4)
-            return xb.reshape(nb * nblk, hk, ps, d).astype(dtype)
+        def blocks2(k, v, dtype):
+            def bl(x):
+                xb = x.reshape(nb, hk, nblk, ps, d).transpose(0, 2, 1, 3, 4)
+                return xb.reshape(nb * nblk, hk, ps, d)
+
+            # (nb*nblk, hk, 2, ps, d) — packed page records
+            return jnp.stack([bl(k), bl(v)], axis=2).astype(dtype)
 
         if cache.quantized:
-            kq = quantize_kv(kc, cache.k_pages.dtype)
-            vq = quantize_kv(vc, cache.v_pages.dtype)
+            kq = quantize_kv(kc, cache.kv_pages.dtype)
+            vq = quantize_kv(vc, cache.kv_pages.dtype)
             kvals, vvals = kq.values, vq.values
-
-            def sblocks(s):
-                sb = s[..., 0].reshape(nb, hk, nblk, ps).transpose(0, 2, 1, 3)
-                return sb.reshape(nb * nblk, hk, 1, ps)
-
-            k_scales = cache.k_scales.at[idx].set(sblocks(kq.scales))
-            v_scales = cache.v_scales.at[idx].set(sblocks(vq.scales))
+            # linear per-sequence scales: write rows [slot, :, :, :cap]
+            sc = jnp.stack([
+                jnp.swapaxes(kq.scales[..., 0], 1, 2),   # (nb, cap, hk)
+                jnp.swapaxes(vq.scales[..., 0], 1, 2),
+            ], axis=-1)                                   # (nb, cap, hk, 2)
+            smax = cache.kv_scales.shape[-1]
+            posc = jnp.minimum(jnp.arange(cap, dtype=jnp.int32), smax - 1)
+            kv_scales = cache.kv_scales.at[
+                slot_ids[:, None], :, :, posc[None, :]].set(sc)
         else:
             kvals, vvals = kc, vc
-            k_scales, v_scales = cache.k_scales, cache.v_scales
+            kv_scales = cache.kv_scales
         out.append(dataclasses.replace(
             cache,
-            k_pages=cache.k_pages.at[idx].set(
-                blocks(kvals, cache.k_pages.dtype)),
-            v_pages=cache.v_pages.at[idx].set(
-                blocks(vvals, cache.v_pages.dtype)),
-            k_scales=k_scales,
-            v_scales=v_scales,
+            kv_pages=cache.kv_pages.at[idx].set(
+                blocks2(kvals, vvals, cache.kv_pages.dtype)),
+            kv_scales=kv_scales,
             lengths=lengths_new,
         ))
     return out
@@ -323,6 +328,7 @@ class InferenceEngine:
             self._lengths[req.slot] = n
         self.caches = _scatter_prefill(
             self.caches, new_caches, jnp.asarray(page_map),
+            jnp.asarray([r.slot for r in reqs], np.int32),
             jnp.asarray(self._lengths),
         )
         self._sync_caches()

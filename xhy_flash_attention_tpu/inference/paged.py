@@ -5,14 +5,30 @@ page_table/page_size params, flash_api.h:100-150) and appending-KV
 (knew/vnew + cu_seqlens_knew).
 
 TPU design:
-  * pages are stored as one (num_pages, kv_heads, page_size, head_dim) array
-    per cache; `page_size` equals the kernel KV block so every page is one
-    contiguous DMA — the page-table indirection happens in the BlockSpec
-    index map reading scalar-prefetch SMEM, never on the data path (this is
-    the "block size must match page size" resolution of SURVEY.md hard
-    part #4);
-  * append (the reference's knew/vnew path) is a functional
-    dynamic-update-slice into the tail page, jit-fused with the decode step;
+  * a page is ONE contiguous record holding both K and V rows —
+    kv_pages (num_pages, kv_heads, 2, page_size, head_dim) — so the
+    scattered gather costs ONE DMA descriptor per page. This is the
+    binding constraint on TPU paged decode: page gathers are issued by
+    the scalar core (~100 cycles per descriptor) while a 64 KB page
+    costs ~80 ns of HBM time, so a 4-descriptor-per-page layout
+    (k, v, k-scales, v-scales) runs descriptor-bound at ~0.55 of the
+    HBM roofline; the packed record + linear scales reach ~0.88
+    (the contiguous-cache kernel's level);
+  * quantization scales are NOT paged: they are 1.5% of the cache bytes,
+    so they live in a per-sequence linear buffer kv_scales
+    (batch, kv_heads, 2, max_seq) fp32 and stream through the regular
+    auto-pipelined BlockSpec path with zero manual descriptors;
+  * the chunked kernel gathers `pages_per_chunk` pages per grid step into
+    a double-buffered VMEM scratch with explicit async copies, and every
+    gather is issued one grid step AHEAD — including across (batch, head)
+    cell boundaries (scalar-prefetched next-valid-cell table + an SMEM
+    slot counter, so empty continuous-batching slots cannot desync the
+    double buffering) — the manual-DMA equivalent of the automatic
+    cross-step pipelining behind the contiguous kernel's 0.89 roofline
+    (the TPU counterpart of the reference's TMA paged loads,
+    csrc/flash_attn_v3/paged_kv.h);
+  * append (the reference's knew/vnew path) is a functional scatter into
+    the tail pages, jit-fused with the decode step;
   * per-sample lengths clamp the page loop exactly like the dense decode
     kernel (≙ FA3 seqused_k).
 """
@@ -40,60 +56,88 @@ __all__ = ["PagedKVCache", "paged_flash_decode", "append_paged_kv"]
 class PagedKVCache:
     """One layer's paged KV storage (a pytree; jit-friendly).
 
-    k_pages/v_pages: (num_pages, kv_heads, page_size, head_dim)
+    kv_pages: (num_pages, kv_heads, 2, page_size, head_dim) — index 0 on
+        the third axis is K, 1 is V. One page = one contiguous HBM record
+        = one gather descriptor (see module docstring).
     page_table: (batch, max_pages_per_seq) int32 — physical page per
         logical block; entries past the sequence's pages are arbitrary
         (clamped by `lengths` in the kernel).
     lengths: (batch,) int32 — valid tokens per sequence.
-    k_scales/v_scales: None for bf16 pages; (num_pages, kv_heads, 1,
-        page_size) fp32 per-token scales for INT8/FP8 pages (lane-major —
-        see decode_kernel.py on why), dequant fused into the decode matmuls
-        (≙ FA3 k_descale/v_descale with a paged INT8 cache, BASELINE
-        config #3).
+    kv_scales: None for bf16 pages; (batch, kv_heads, 2, max_pages_per_seq
+        * page_size) fp32 per-token K/V scales in SEQUENCE-linear layout
+        (not paged — auto-pipelined into the kernel, dequant fused into
+        the decode matmuls; ≙ FA3 k_descale/v_descale with a paged INT8
+        cache, BASELINE config #3).
     """
 
-    k_pages: jax.Array
-    v_pages: jax.Array
+    kv_pages: jax.Array
     page_table: jax.Array
     lengths: jax.Array
-    k_scales: Optional[jax.Array] = None
-    v_scales: Optional[jax.Array] = None
+    kv_scales: Optional[jax.Array] = None
+
+    @property
+    def k_pages(self) -> jax.Array:
+        return self.kv_pages[:, :, 0]
+
+    @property
+    def v_pages(self) -> jax.Array:
+        return self.kv_pages[:, :, 1]
 
     @property
     def page_size(self) -> int:
-        return self.k_pages.shape[2]
+        return self.kv_pages.shape[3]
 
     @property
     def quantized(self) -> bool:
-        return self.k_scales is not None
+        return self.kv_scales is not None
 
     @staticmethod
     def create(num_pages: int, kv_heads: int, page_size: int, head_dim: int,
                batch: int, max_pages_per_seq: int,
                dtype=jnp.bfloat16) -> "PagedKVCache":
-        shape = (num_pages, kv_heads, page_size, head_dim)
         quant = jnp.dtype(dtype) in (jnp.dtype(jnp.int8),
                                      jnp.dtype(jnp.float8_e4m3fn))
-        sc = (jnp.ones((num_pages, kv_heads, 1, page_size), jnp.float32)
-              if quant else None)
+        sc = (jnp.ones((batch, kv_heads, 2, max_pages_per_seq * page_size),
+                       jnp.float32) if quant else None)
         return PagedKVCache(
-            k_pages=jnp.zeros(shape, dtype),
-            v_pages=jnp.zeros(shape, dtype),
+            kv_pages=jnp.zeros(
+                (num_pages, kv_heads, 2, page_size, head_dim), dtype),
             page_table=jnp.zeros((batch, max_pages_per_seq), jnp.int32),
             lengths=jnp.zeros((batch,), jnp.int32),
-            k_scales=sc,
-            v_scales=sc,
+            kv_scales=sc,
         )
+
+    @staticmethod
+    def from_kv(k_pages: jax.Array, v_pages: jax.Array,
+                page_table: jax.Array, lengths: jax.Array,
+                k_scales: Optional[jax.Array] = None,
+                v_scales: Optional[jax.Array] = None) -> "PagedKVCache":
+        """Build from separate K/V page arrays (num_pages, kv_heads,
+        page_size, head_dim) and, optionally, page-layout scales
+        (num_pages, kv_heads, 1, page_size) — packs the pages and gathers
+        the scales into the linear layout via the page table."""
+        kv = jnp.stack([k_pages, v_pages], axis=2)
+        sc = None
+        if k_scales is not None:
+            b, npp = page_table.shape
+            hk, ps = k_pages.shape[1], k_pages.shape[2]
+
+            def lin(s):
+                g = jnp.take(s[:, :, 0, :], page_table, axis=0)
+                return jnp.transpose(g, (0, 2, 1, 3)).reshape(
+                    b, hk, npp * ps)
+
+            sc = jnp.stack([lin(k_scales), lin(v_scales)], axis=2)
+        return PagedKVCache(kv, page_table, lengths, sc)
 
 
 def _paged_decode_kernel(lens_ref, table_ref, *refs,
                          sm_scale, softcap, page_size, sq, g, rows_p,
                          window_left, num_blocks, quantized):
     if quantized:
-        (q_ref, k_ref, ks_ref, v_ref, vs_ref, o_ref,
-         m_scr, l_scr, acc_scr) = refs
+        q_ref, kv_ref, sc_ref, o_ref, m_scr, l_scr, acc_scr = refs
     else:
-        q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr = refs
+        q_ref, kv_ref, o_ref, m_scr, l_scr, acc_scr = refs
     b_idx = pl.program_id(0)
     ikv = pl.program_id(2)
 
@@ -109,14 +153,15 @@ def _paged_decode_kernel(lens_ref, table_ref, *refs,
     @pl.when(c_start < length)
     def _run():
         q = q_ref[0, 0]
-        k = k_ref[0, 0]                    # (page_size, d) — page block
+        k = kv_ref[0, 0, 0]                # (page_size, d) — page block
         if quantized:
             k = k.astype(q.dtype)
+            sc = sc_ref[0, 0]              # (2, page_size) linear scales
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
         if quantized:
-            s *= ks_ref[0, 0]              # (1, page_size) per-token scales
+            s *= sc[0:1]                   # (1, page_size) per-token scales
         s *= sm_scale
         if softcap > 0.0:
             s = jnp.tanh(s / softcap) * softcap
@@ -137,9 +182,9 @@ def _paged_decode_kernel(lens_ref, table_ref, *refs,
         p = jnp.exp(s - jnp.maximum(m_next[:, :1], 0.5 * NEG_INF))
         l_scr[...] = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
         m_scr[...] = m_next
-        v = v_ref[0, 0]
+        v = kv_ref[0, 0, 1]
         if quantized:
-            p = p * vs_ref[0, 0]
+            p = p * sc[1:2]
             v = v.astype(q.dtype)
         pv = jax.lax.dot_general(
             p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
@@ -155,69 +200,82 @@ def _paged_decode_kernel(lens_ref, table_ref, *refs,
 
 
 def _paged_decode_chunked_kernel(
-    lens_ref, table_ref, *refs,
+    lens_ref, table_ref, nxt_ref, *refs,
     sm_scale, softcap, page_size, sq, g, rows_p, window_left,
-    pages_per_chunk, num_chunks, npp, quantized,
+    pages_per_chunk, num_chunks, npp, num_pages, nh, quantized,
+    guard_invalid,
 ):
-    """Multi-page-per-step paged decode.
+    """Multi-page-per-step paged decode over packed one-descriptor pages.
 
-    One kernel block per PAGE makes the grid-step fixed cost dominate small
-    pages (measured 0.52/0.74 of the HBM roofline at page 512/1024 vs 0.89
-    contiguous). Here the pages stay unblocked in HBM and each grid step
-    gathers `pages_per_chunk` of them into a double-buffered VMEM scratch
-    with explicit async copies — the TPU equivalent of the reference's
-    TMA paged loads (csrc/flash_attn_v3/paged_kv.h) — then runs ONE
-    (rows, C·page) softmax-attention update. The next chunk's copies are
-    issued before this chunk's compute, so gathers overlap the math.
-
-    Out-of-range pages clamp to the sequence's last valid page (real data,
-    masked out by the causal column mask), so the buffers never hold
-    uninitialized values that could turn into NaNs downstream.
+    One kernel block per PAGE makes the grid-step fixed cost dominate
+    small pages; one DMA descriptor per tensor per page makes the scalar
+    core the bottleneck (see module docstring). Here each grid step
+    gathers `pages_per_chunk` packed pages into a double-buffered VMEM
+    scratch — one async copy per page — and runs ONE (rows, C·page)
+    softmax-attention update; scales stream through the automatic
+    pipeline. Every gather is issued one grid step ahead, including
+    across (b, h) cell boundaries: the issue slot comes from an SMEM
+    counter of processed valid chunks (not the raw grid step), and the
+    cross-cell target skips empty continuous-batching slots via the
+    scalar-prefetched next-valid-cell table, so no orphan DMA is ever
+    issued and semaphore counts stay balanced.
     """
     if quantized:
-        (q_ref, kp_ref, ks_ref, vp_ref, vs_ref, o_ref,
-         kbuf, vbuf, ksbuf, vsbuf, m_scr, l_scr, acc_scr, sems) = refs
+        q_ref, kvp_ref, sc_ref, o_ref, kvbuf, m_scr, l_scr, acc_scr, \
+            cnt_ref, sems = refs
     else:
-        (q_ref, kp_ref, vp_ref, o_ref, kbuf, vbuf,
-         m_scr, l_scr, acc_scr, sems) = refs
-        ks_ref = vs_ref = ksbuf = vsbuf = None
+        q_ref, kvp_ref, o_ref, kvbuf, m_scr, l_scr, acc_scr, \
+            cnt_ref, sems = refs
+        sc_ref = None
     b_idx, h_idx, ic = pl.program_id(0), pl.program_id(1), pl.program_id(2)
     C = pages_per_chunk
     ps = page_size
     length = lens_ref[b_idx]
-    nblk = jnp.maximum((length + ps - 1) // ps, 1)
+    n_cells = pl.num_programs(0) * nh
+    cell = b_idx * nh + h_idx
 
-    def transfers(chunk, slot):
+    def transfers(bb, hh, chunk, slot):
+        # (op, valid) per page. With guard_invalid (compiled mode), pages
+        # past the sequence's last block are neither issued nor waited
+        # (chunks are large — C*ps tokens — so clamped re-gathers would
+        # multiply short sequences' traffic); issue and wait reconstruct
+        # the SAME validity predicate from prefetched lengths, so
+        # semaphore counts stay balanced. Interpret mode always copies
+        # the clamped page instead: its DMA emulation mishandles
+        # pl.when-predicated copies (observed: every copy skipped), and
+        # the clamped copy is numerically identical — the masked branch
+        # discards those columns either way.
+        ln = lens_ref[bb]
+        nblk = jnp.maximum((ln + ps - 1) // ps, 1)
         ops = []
         for j in range(C):
             blk = jnp.minimum(chunk * C + j, nblk - 1)
-            page = table_ref[b_idx * npp + blk]
-            dst = pl.ds(j * ps, ps)
-            ops.append(pltpu.make_async_copy(
-                kp_ref.at[page, h_idx], kbuf.at[slot, dst],
-                sems.at[slot, 0, j]))
-            ops.append(pltpu.make_async_copy(
-                vp_ref.at[page, h_idx], vbuf.at[slot, dst],
-                sems.at[slot, 1, j]))
-            if quantized:
-                ops.append(pltpu.make_async_copy(
-                    ks_ref.at[page, h_idx], ksbuf.at[slot, :, dst],
-                    sems.at[slot, 2, j]))
-                ops.append(pltpu.make_async_copy(
-                    vs_ref.at[page, h_idx], vsbuf.at[slot, :, dst],
-                    sems.at[slot, 3, j]))
+            page = jnp.clip(table_ref[bb * npp + blk], 0, num_pages - 1)
+            valid = jnp.logical_or((chunk * C + j) * ps < ln, j == 0)
+            ops.append((pltpu.make_async_copy(
+                kvp_ref.at[page, hh],
+                kvbuf.at[slot, :, pl.ds(j * ps, ps)],
+                sems.at[slot, j]), valid))
         return ops
 
-    def issue(chunk, slot):
-        for op in transfers(chunk, slot):
-            op.start()
+    def _each(ops, fn):
+        for op, valid in ops:
+            if guard_invalid:
+                @pl.when(valid)
+                def _go(op=op, fn=fn):
+                    fn(op)
+            else:
+                fn(op)
 
-    def wait(chunk, slot):
-        for op in transfers(chunk, slot):
-            op.wait()
+    def issue(bb, hh, chunk, slot):
+        _each(transfers(bb, hh, chunk, slot), lambda op: op.start())
 
-    slot = jax.lax.rem(ic, 2)
-    other = 1 - slot
+    def wait(bb, hh, chunk, slot):
+        _each(transfers(bb, hh, chunk, slot), lambda op: op.wait())
+
+    @pl.when(jnp.logical_and(cell == 0, ic == 0))
+    def _init_cnt():
+        cnt_ref[0] = 0
 
     @pl.when(ic == 0)
     def _init():
@@ -225,32 +283,45 @@ def _paged_decode_chunked_kernel(
         l_scr[...] = jnp.zeros_like(l_scr)
         acc_scr[...] = jnp.zeros_like(acc_scr)
 
-    @pl.when(jnp.logical_and(ic == 0, length > 0))
-    def _first_issue():
-        # guarded by length: an empty slot must not leave orphan DMAs
-        # whose semaphore counts would desync later sweeps
-        issue(0, 0)
-
     chunk_valid = ic * C * ps < length
+    cnt = cnt_ref[0]
+
+    @pl.when(jnp.logical_and(chunk_valid, cnt == 0))
+    def _bootstrap():
+        # globally-first valid chunk (always ic == 0 of the first live
+        # cell): nobody issued ahead for it
+        issue(b_idx, h_idx, 0, 0)
 
     def body(apply_mask):
-        wait(ic, slot)
+        slot = jax.lax.rem(cnt, 2)
 
-        @pl.when(jnp.logical_and((ic + 1) * C * ps < length,
-                                 ic + 1 < num_chunks))
+        # issue the NEXT valid chunk's gather before waiting on ours —
+        # same cell's next chunk, or chunk 0 of the next live cell
+        nxt_same = jnp.logical_and(
+            ic + 1 < num_chunks, (ic + 1) * C * ps < length)
+        cnext = nxt_ref[jnp.minimum(cell + 1, n_cells)]
+        tb = jnp.where(nxt_same, b_idx, cnext // nh)
+        th = jnp.where(nxt_same, h_idx, cnext - (cnext // nh) * nh)
+        tic = jnp.where(nxt_same, ic + 1, 0)
+        have = jnp.logical_or(nxt_same, cnext < n_cells)
+
+        @pl.when(have)
         def _prefetch():
-            issue(ic + 1, other)
+            issue(jnp.minimum(tb, pl.num_programs(0) - 1), th, tic,
+                  1 - slot)
+
+        wait(b_idx, h_idx, ic, slot)
 
         q = q_ref[0, 0]
-        k = kbuf[slot]
-        if quantized:
-            k = k.astype(q.dtype)
+        kv = kvbuf[slot]
+        k = kv[0].astype(q.dtype)
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         if quantized:
-            s *= ksbuf[slot]
+            sc = sc_ref[0, 0]              # (2, C*ps) linear scales
+            s *= sc[0:1]
         s *= sm_scale
         if softcap > 0.0:
             s = jnp.tanh(s / softcap) * softcap
@@ -274,15 +345,15 @@ def _paged_decode_chunked_kernel(
         p = jnp.exp(s - jnp.maximum(m_next[:, :1], 0.5 * NEG_INF))
         l_scr[...] = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
         m_scr[...] = m_next
-        v = vbuf[slot]
+        v = kv[1].astype(q.dtype)
         if quantized:
-            p = p * vsbuf[slot]
-            v = v.astype(q.dtype)
+            p = p * sc_ref[0, 0][1:2]
         pv = jax.lax.dot_general(
             p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         acc_scr[...] = acc_scr[...] * alpha[:, :1] + pv
+        cnt_ref[0] = cnt + 1
 
     # interior chunks skip mask construction entirely (≙ decode_kernel.py's
     # fully-unmasked bypass; lens_ref is scalar-prefetch SMEM, so the
@@ -308,45 +379,48 @@ def _paged_decode_chunked_kernel(
         o_ref[0, 0] = (acc_scr[...] * l_inv).astype(o_ref.dtype)
 
 
-# pages per grid step target: ~4096-token chunks amortize the per-step
-# cost to the contiguous kernel's level while keeping page-granular DMA
-_CHUNK_TOKENS = 4096
+# pages per grid step target: bigger chunks amortize the per-step cost
+# (v5e, packed pages, page 512, Llama-3-8B-geometry INT8 decode: 0.51 /
+# 0.69 / 0.85 / 0.87 of the HBM roofline at 1k/2k/4k/8k-token chunks);
+# per-page validity guards in transfers() keep short sequences from
+# paying the large chunk's gather
+_CHUNK_TOKENS = 8192
 
 
 def _paged_decode_chunked(q, cache, qr, *, sm_scale, window_size, softcap,
                           rows_p, g, interp):
     b, sq, h, d = q.shape
-    P, hk, ps, _ = cache.k_pages.shape
+    P, hk, _, ps, _ = cache.kv_pages.shape
     npp = cache.page_table.shape[1]
     C = max(1, min(_CHUNK_TOKENS // ps, npp))
     num_chunks = -(-npp // C)
     quantized = cache.quantized
+    n_cells = b * hk
 
-    hbm = pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)
-    kv_specs, kv_inputs = [hbm], [cache.k_pages]
+    # next-valid-cell table: nxt[c] = first cell index >= c whose batch
+    # slot has tokens (n_cells if none) — lets the kernel's issue-ahead
+    # hop over empty continuous-batching slots without a scalar loop
+    live = jnp.repeat(cache.lengths > 0, hk)
+    idxs = jnp.where(live, jnp.arange(n_cells, dtype=jnp.int32),
+                     jnp.int32(n_cells))
+    nxt = jax.lax.associative_scan(jnp.minimum, idxs, reverse=True)
+    nxt_tab = jnp.concatenate(
+        [nxt, jnp.full((1,), n_cells, jnp.int32)])
+
+    kv_specs = [pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)]
+    kv_inputs = [cache.kv_pages]
     if quantized:
-        kv_specs.append(hbm)
-        kv_inputs.append(cache.k_scales)
-    kv_specs.append(hbm)
-    kv_inputs.append(cache.v_pages)
-    if quantized:
-        kv_specs.append(hbm)
-        kv_inputs.append(cache.v_scales)
+        kv_specs.append(pl.BlockSpec(
+            (1, 1, 2, C * ps), lambda b_, h_, ic, *_: (b_, h_, 0, ic)))
+        kv_inputs.append(cache.kv_scales)
 
     scratch = [
-        pltpu.VMEM((2, C * ps, d), cache.k_pages.dtype),
-        pltpu.VMEM((2, C * ps, d), cache.v_pages.dtype),
-    ]
-    if quantized:
-        scratch += [
-            pltpu.VMEM((2, 1, C * ps), jnp.float32),
-            pltpu.VMEM((2, 1, C * ps), jnp.float32),
-        ]
-    scratch += [
+        pltpu.VMEM((2, 2, C * ps, d), cache.kv_pages.dtype),
         pltpu.VMEM((rows_p, MIN_LANES), jnp.float32),
         pltpu.VMEM((rows_p, MIN_LANES), jnp.float32),
         pltpu.VMEM((rows_p, d), jnp.float32),
-        pltpu.SemaphoreType.DMA((2, 4 if quantized else 2, C)),
+        pltpu.SMEM((1,), jnp.int32),
+        pltpu.SemaphoreType.DMA((2, C)),
     ]
 
     out = pl.pallas_call(
@@ -356,27 +430,31 @@ def _paged_decode_chunked(q, cache, qr, *, sm_scale, window_size, softcap,
             page_size=ps, sq=sq, g=g, rows_p=rows_p,
             window_left=window_size[0],
             pages_per_chunk=C, num_chunks=num_chunks, npp=npp,
-            quantized=quantized,
+            num_pages=P, nh=hk, quantized=quantized,
+            guard_invalid=not interp,
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
+            num_scalar_prefetch=3,
             grid=(b, hk, num_chunks),
             in_specs=[
                 pl.BlockSpec((1, 1, rows_p, d),
-                             lambda b_, h_, ikv, *_: (b_, h_, 0, 0)),
+                             lambda b_, h_, ic, *_: (b_, h_, 0, 0)),
             ] + kv_specs,
             out_specs=pl.BlockSpec(
-                (1, 1, rows_p, d), lambda b_, h_, ikv, *_: (b_, h_, 0, 0)
+                (1, 1, rows_p, d), lambda b_, h_, ic, *_: (b_, h_, 0, 0)
             ),
             scratch_shapes=scratch,
         ),
         out_shape=jax.ShapeDtypeStruct((b, hk, rows_p, d), q.dtype),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            # strictly sequential row-major execution: the cross-cell
+            # issue-ahead depends on the grid order
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
         ),
         interpret=interp,
     )(cache.lengths.astype(jnp.int32),
       cache.page_table.reshape(-1).astype(jnp.int32),
+      nxt_tab,
       qr, *kv_inputs)
     return out
 
@@ -397,7 +475,7 @@ def paged_flash_decode(
     Returns (b, sq, h, d).
     """
     b, sq, h, d = q.shape
-    P, hk, page_size, _ = cache.k_pages.shape
+    P, hk, _, page_size, _ = cache.kv_pages.shape
     npp = cache.page_table.shape[1]
     g = h // hk
     if softmax_scale is None:
@@ -411,7 +489,10 @@ def paged_flash_decode(
         qr = jnp.pad(qr, ((0, 0), (0, 0), (0, rows_p - rows), (0, 0)))
 
     interp = interpret_mode() if interpret is None else interpret
-    if page_size < _CHUNK_TOKENS and npp > 1:
+    # the chunked kernel's manual HBM page slices need the lane dim
+    # 128-aligned (Mosaic tiled-memref slicing); other head dims take the
+    # BlockSpec-pipelined one-page-per-step kernel
+    if page_size < _CHUNK_TOKENS and npp > 1 and d % 128 == 0:
         out = _paged_decode_chunked(
             q, cache, qr, sm_scale=softmax_scale, window_size=window_size,
             softcap=softcap, rows_p=rows_p, g=g, interp=interp,
@@ -425,19 +506,16 @@ def paged_flash_decode(
         # resident page (no new traffic)
         hi = jnp.maximum((lens_ref[b_] - 1) // page_size, 0)
         blk = jnp.minimum(ikv, hi)
-        return (table_ref[b_ * npp + blk], h_, 0, 0)
+        return (table_ref[b_ * npp + blk], h_, 0, 0, 0)
 
     quantized = cache.quantized
-    kv_specs = [pl.BlockSpec((1, 1, page_size, d), page_index)]
-    kv_inputs = [cache.k_pages]
+    kv_specs = [pl.BlockSpec((1, 1, 2, page_size, d), page_index)]
+    kv_inputs = [cache.kv_pages]
     if quantized:
-        kv_specs.append(pl.BlockSpec((1, 1, 1, page_size), page_index))
-        kv_inputs.append(cache.k_scales)
-    kv_specs.append(pl.BlockSpec((1, 1, page_size, d), page_index))
-    kv_inputs.append(cache.v_pages)
-    if quantized:
-        kv_specs.append(pl.BlockSpec((1, 1, 1, page_size), page_index))
-        kv_inputs.append(cache.v_scales)
+        kv_specs.append(pl.BlockSpec(
+            (1, 1, 2, page_size),
+            lambda b_, h_, ikv, *_: (b_, h_, 0, ikv)))
+        kv_inputs.append(cache.kv_scales)
 
     out = pl.pallas_call(
         functools.partial(
@@ -512,37 +590,42 @@ def append_paged_kv(
     pid = page_ids.reshape(-1)
     offf = off.reshape(-1)
 
-    def write(pages, new):
-        # (b, hk, sq, d) -> (b*sq, hk, d) rows scattered to (page, :, off, :)
-        rows = jnp.swapaxes(new, 1, 2).reshape(b * sq, hk, d)
-        return pages.at[pid, :, offf, :].set(rows.astype(pages.dtype))
-
-    def write_scale(scales, new_scale):
-        # (num_pages, hk, 1, page_size) lane-major: scatter one lane each
-        rows = jnp.swapaxes(new_scale[..., 0], 1, 2).reshape(b * sq, hk)
-        return scales.at[pid, :, 0, offf].set(rows)
+    def write(pages, k_rows, v_rows):
+        # (b, hk, sq, d) -> (b*sq, hk, 2, d) rows scattered to
+        # (page, :, :, off, :) — one scatter covers both K and V
+        rows = jnp.stack([
+            jnp.swapaxes(k_rows, 1, 2).reshape(b * sq, hk, d),
+            jnp.swapaxes(v_rows, 1, 2).reshape(b * sq, hk, d),
+        ], axis=2)
+        return pages.at[pid, :, :, offf, :].set(rows.astype(pages.dtype))
 
     if cache.quantized:
         from ..ops.quant import quantize_kv
 
-        kq = quantize_kv(k_new, cache.k_pages.dtype)  # per-token scales
-        vq = quantize_kv(v_new, cache.v_pages.dtype)
+        kq = quantize_kv(k_new, cache.kv_pages.dtype)  # per-token scales
+        vq = quantize_kv(v_new, cache.kv_pages.dtype)
+        # linear scales: write at the global positions directly
+        sc_rows = jnp.stack([
+            jnp.swapaxes(kq.scales[..., 0], 1, 2),  # (b, sq, hk)
+            jnp.swapaxes(vq.scales[..., 0], 1, 2),
+        ], axis=-1)                                  # (b, sq, hk, 2)
+        smax = cache.kv_scales.shape[-1]
+        bidx = jnp.arange(b, dtype=jnp.int32)[:, None]
+        kv_scales = cache.kv_scales.at[
+            bidx, :, :, jnp.clip(pos, 0, smax - 1)].set(sc_rows)
         return PagedKVCache(
-            k_pages=write(cache.k_pages, kq.values),
-            v_pages=write(cache.v_pages, vq.values),
+            kv_pages=write(cache.kv_pages, kq.values, vq.values),
             page_table=cache.page_table,
             lengths=cache.lengths + num_valid,
-            k_scales=write_scale(cache.k_scales, kq.scales),
-            v_scales=write_scale(cache.v_scales, vq.scales),
+            kv_scales=kv_scales,
         )
 
     return PagedKVCache(
-        k_pages=write(cache.k_pages, k_new),
-        v_pages=write(cache.v_pages, v_new),
+        kv_pages=write(cache.kv_pages, k_new, v_new),
         page_table=cache.page_table,
         lengths=cache.lengths + num_valid,
     )
 
 
 def hk_of(cache: PagedKVCache) -> int:
-    return cache.k_pages.shape[1]
+    return cache.kv_pages.shape[1]

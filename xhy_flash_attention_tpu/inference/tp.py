@@ -33,11 +33,11 @@ def _cache_specs(caches, axis: str):
     """PartitionSpec pytree sharding every cache's KV-head dim over `axis`."""
     def one(c):
         if isinstance(c, PagedKVCache):
-            hs = P(None, axis, None, None)
             return PagedKVCache(
-                k_pages=hs, v_pages=hs, page_table=P(), lengths=P(),
-                k_scales=hs if c.k_scales is not None else None,
-                v_scales=hs if c.v_scales is not None else None,
+                kv_pages=P(None, axis, None, None, None),
+                page_table=P(), lengths=P(),
+                kv_scales=(P(None, axis, None, None)
+                           if c.kv_scales is not None else None),
             )
         k_c, v_c = c
         from ..ops.quant import QuantizedKV

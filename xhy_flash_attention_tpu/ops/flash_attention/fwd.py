@@ -98,7 +98,6 @@ def _fwd_kernel(
     diag_mask_tile: bool = False,
     zero_seed: bool = False,
     flat_iter: bool = False,
-    bshd: bool = False,
 ):
     it = iter(refs)
     if dropout_p > 0.0:
@@ -287,13 +286,8 @@ def _fwd_kernel(
         # (bq, bk) score matrix — d/bk fewer VPU ops; this is the
         # reorder_ops=True operand ordering the reference's low-precision
         # baseline defines the error contract around
-        # bshd: blocks are (1, bq, 1, d) strided slices of the untransposed
-        # (b, s, h, d) arrays — the kernel consumes the user layout
-        # directly (≙ the reference kernels' native (b, s, h, d) layout,
-        # flash_fwd_kernel.h), killing the interface transposes
-        q_raw = q_ref[0, :, 0] if bshd else q_ref[0, 0]
-        q = (q_raw.astype(jnp.float32) * sm_scale).astype(q_ref.dtype)
-        k = k_ref[0, :, 0] if bshd else k_ref[0, 0]
+        q = (q_ref[0, 0].astype(jnp.float32) * sm_scale).astype(q_ref.dtype)
+        k = k_ref[0, 0]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
@@ -338,7 +332,7 @@ def _fwd_kernel(
             kseg = kseg_ref[0]        # (1, bk)
             s = jnp.where(qseg == kseg, s, NEG_INF)
 
-        v = v_ref[0, :, 0] if bshd else v_ref[0, 0]
+        v = v_ref[0, 0]
         if defer:
             # Deferred-shift online softmax: the serialized chain
             # QK-matmul -> full max reduce -> exp was the kernel's critical
@@ -441,11 +435,7 @@ def _fwd_kernel(
     def _finish():
         l = l_scr[:, :1]
         l_inv = jnp.where(l == 0.0, 0.0, 1.0 / l)
-        o_val = (acc_scr[...] * l_inv).astype(o_ref.dtype)
-        if bshd:
-            o_ref[0, :, 0] = o_val
-        else:
-            o_ref[0, 0] = o_val
+        o_ref[0, 0] = (acc_scr[...] * l_inv).astype(o_ref.dtype)
         if lse_ref is not None:
             # lane-replicated x8 (Mosaic block rule: last dim == array dim)
             m8 = m_scr[:, :8]
@@ -477,13 +467,8 @@ def flash_attention_fwd(
     block_mask: Optional[jax.Array] = None,
     q_positions: Optional[jax.Array] = None,
     kv_positions: Optional[jax.Array] = None,
-    bshd: bool = False,
 ) -> Tuple[jax.Array, Optional[jax.Array]]:
     """Forward flash attention on (batch, heads, seq, head_dim) inputs.
-
-    bshd=True consumes/produces the reference's (batch, seq, heads,
-    head_dim) layout directly via strided blocks — no transposes. Only
-    the plain/causal/window/softcap/dropout path; lse stays (b, h, sq).
 
     Returns (out, lse) with lse = logsumexp of scaled scores, shape (b, h, sq),
     fp32 (≙ reference softmax_lse, flash_api.cpp mha_fwd); lse is None when
@@ -503,16 +488,8 @@ def flash_attention_fwd(
     if q_positions is not None:
         pos_window = window_size
         window_size = (-1, -1)
-    if bshd:
-        if (bias is not None or q_segment_ids is not None
-                or flashmask_vecs is not None or block_mask is not None
-                or q_positions is not None):
-            raise ValueError("bshd layout supports only the plain path")
-        b, sq, h, d = q.shape
-        _, sk, hk, _ = k.shape
-    else:
-        b, h, sq, d = q.shape
-        _, hk, sk, _ = k.shape
+    b, h, sq, d = q.shape
+    _, hk, sk, _ = k.shape
     assert h % hk == 0, (h, hk)
     if block_sizes is None:
         block_sizes = BlockSizes.for_shape(sq, sk, d, q.dtype)
@@ -521,11 +498,10 @@ def flash_attention_fwd(
     bk = min(block_sizes.block_k, round_up(sk, 128))
     g = h // hk
 
-    s_axis = 1 if bshd else 2
-    qp = pad_to_block(q, s_axis, bq)
-    kp = pad_to_block(k, s_axis, bk)
-    vp = pad_to_block(v, s_axis, bk)
-    sqp, skp = qp.shape[s_axis], kp.shape[s_axis]
+    qp = pad_to_block(q, 2, bq)
+    kp = pad_to_block(k, 2, bk)
+    vp = pad_to_block(v, 2, bk)
+    sqp, skp = qp.shape[2], kp.shape[2]
     nq, nkv = sqp // bq, skp // bk
     offset = sk - sq
     has_right = window_size[1] >= 0
@@ -692,29 +668,19 @@ def flash_attention_fwd(
     if flat_causal:
         # scalar-prefetch refs arrive in order after the grid ids; the
         # flat tables are always the last two (eff is excluded above)
-        if bshd:
-            q_map = lambda b_, h_, t, *r: (b_, r[-2][t], h_, 0)
-            kv_blk = lambda b_, h_, t, *r: (b_, r[-1][t], h_ // g, 0)
-        else:
-            q_map = lambda b_, h_, t, *r: (b_, h_, r[-2][t], 0)
-            kv_blk = lambda b_, h_, t, *r: (b_, h_ // g, r[-1][t], 0)
+        q_map = lambda b_, h_, t, *r: (b_, h_, r[-2][t], 0)
+        kv_blk = lambda b_, h_, t, *r: (b_, h_ // g, r[-1][t], 0)
     else:
         if has_eff:
             kv_i = kv_index_eff
         else:
             kv_i = lambda b_, h_, iq, ikv, *r: kv_index(iq, ikv)
-        if bshd:
-            q_map = lambda b_, h_, iq, ikv, *_: (b_, iq, h_, 0)
-            kv_blk = lambda b_, h_, iq, ikv, *r: (
-                b_, kv_i(b_, h_, iq, ikv, *r), h_ // g, 0
-            )
-        else:
-            q_map = lambda b_, h_, iq, ikv, *_: (b_, h_, iq, 0)
-            kv_blk = lambda b_, h_, iq, ikv, *r: (
-                b_, h_ // g, kv_i(b_, h_, iq, ikv, *r), 0
-            )
-    qblk_shape = (1, bq, 1, d) if bshd else (1, 1, bq, d)
-    kvblk_shape = (1, bk, 1, d) if bshd else (1, 1, bk, d)
+        q_map = lambda b_, h_, iq, ikv, *_: (b_, h_, iq, 0)
+        kv_blk = lambda b_, h_, iq, ikv, *r: (
+            b_, h_ // g, kv_i(b_, h_, iq, ikv, *r), 0
+        )
+    qblk_shape = (1, 1, bq, d)
+    kvblk_shape = (1, 1, bk, d)
     in_specs.extend([
         pl.BlockSpec(qblk_shape, q_map),
         pl.BlockSpec(kvblk_shape, kv_blk),
@@ -789,8 +755,7 @@ def flash_attention_fwd(
         )
         inputs.extend([qposp[:, :, None], kposp[:, None, :]])
 
-    out_shape = [jax.ShapeDtypeStruct(
-        (b, sqp, h, d) if bshd else (b, h, sqp, d), q.dtype)]
+    out_shape = [jax.ShapeDtypeStruct((b, h, sqp, d), q.dtype)]
     if flat_causal:
         o_map = q_map
         lse_map = lambda b_, h_, t, *r: (b_, h_, r[-2][t], 0)
@@ -831,7 +796,6 @@ def flash_attention_fwd(
         has_segstats=has_segments,
         diag_mask_tile=diag_mask_tile,
         flat_iter=flat_causal,
-        bshd=bshd,
         # Deferred-shift softmax needs every q row to have at least one
         # visible key in the ikv==0 seed block: true for plain/causal/
         # bias/dropout/right-window (offset >= 0) attention, but not once
@@ -890,7 +854,7 @@ def flash_attention_fwd(
         cost_estimate=cost,
         interpret=interpret_mode() if interpret is None else interpret,
     )(*inputs)
-    osl = (lambda o: o[:, :sq]) if bshd else (lambda o: o[:, :, :sq])
+    osl = lambda o: o[:, :, :sq]
     if need_lse:
         out, lse = results
         return osl(out), lse[:, :, :sq, 0]

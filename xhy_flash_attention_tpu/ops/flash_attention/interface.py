@@ -80,52 +80,6 @@ def _resolve_static(sm_scale, causal, window_size, softcap, dropout_p,
 
 
 @functools.lru_cache(maxsize=None)
-def _make_bshd_attention_fn(static: _Static, return_lse: bool):
-    """custom_vjp over the kernel's native (b, s, h, d) path: the forward
-    runs transpose-free (fwd.py bshd strided blocks — measured ~4% off the
-    dense-causal headline vs transposing); the backward transposes to
-    kernel layout for the bwd kernels (2.5x the FLOPs, so the relative
-    transpose cost is 2.5x smaller there)."""
-    kw = dict(
-        sm_scale=static.sm_scale,
-        causal=static.causal,
-        window_size=static.window_size,
-        softcap=static.softcap,
-        dropout_p=static.dropout_p,
-        block_sizes=static.fwd_blocks(),
-    )
-
-    @jax.custom_vjp
-    def attn(q, k, v, seed):
-        out, lse = flash_attention_fwd(
-            q, k, v, dropout_seed=seed, bshd=True, **kw
-        )
-        return (out, lse) if return_lse else out
-
-    def attn_fwd(q, k, v, seed):
-        out, lse = flash_attention_fwd(
-            q, k, v, dropout_seed=seed, bshd=True, **kw
-        )
-        from jax.ad_checkpoint import checkpoint_name
-
-        out = checkpoint_name(out, "attn_out")
-        lse = checkpoint_name(lse, "attn_lse")
-        return ((out, lse) if return_lse else out), (q, k, v, seed, out, lse)
-
-    def attn_bwd(res, g):
-        q, k, v, seed, out, lse = res
-        do = g[0] if return_lse else g
-        t = _bshd_to_bhsd
-        dq, dk, dv, _ = flash_attention_bwd(
-            t(q), t(k), t(v), t(out), lse, t(do), dropout_seed=seed, **kw
-        )
-        return t(dq), t(dk), t(dv), None
-
-    attn.defvjp(attn_fwd, attn_bwd)
-    return attn
-
-
-@functools.lru_cache(maxsize=None)
 def _make_attention_fn(static: _Static, return_lse: bool):
     kw = dict(
         sm_scale=static.sm_scale,
@@ -306,33 +260,30 @@ def flash_attn_func(
     only: S_dmask is recomputed with plain XLA ops and materializes the
     full score matrix.
     """
+    # Layout note: the kernel consumes (b, h, s, d). A strided-block
+    # "native (b, s, h, d)" forward was built and measured SLOWER than
+    # these transposes on the causal headline (112 vs 118.5 TFLOP/s —
+    # Mosaic's strided q/out DMA costs more than two full-bandwidth
+    # transposes), so the transpose path stays.
     del deterministic
-    b, sq, h, d = q.shape
-    sk = k.shape[1]
-    if softmax_scale is None:
-        softmax_scale = 1.0 / math.sqrt(d)
-    static = _resolve_static(
-        softmax_scale, causal, window_size, softcap, dropout_p,
-        block_sizes, sq, sk, d,
+    qt, kt, vt = map(_bshd_to_bhsd, (q, k, v))
+    res = flash_attention(
+        qt, kt, vt,
+        softmax_scale=softmax_scale, causal=causal, window_size=window_size,
+        softcap=softcap, dropout_p=dropout_p, dropout_seed=dropout_seed,
+        block_sizes=block_sizes, return_lse=return_attn_probs,
     )
-    if dropout_p > 0.0 and dropout_seed is None:
-        raise ValueError("dropout_p > 0 requires dropout_seed")
-    seed = None
-    if dropout_seed is not None and dropout_p > 0.0:
-        seed = jnp.asarray(dropout_seed, jnp.int32).reshape(())
-    # native (b, s, h, d) path — the kernel reads the user layout
-    # directly, no transposes (see _make_bshd_attention_fn)
-    res = _make_bshd_attention_fn(static, return_attn_probs)(q, k, v, seed)
     if return_attn_probs:
         out, lse = res
+        scale = softmax_scale if softmax_scale is not None \
+            else 1.0 / math.sqrt(q.shape[-1])
         s_dmask = _attn_probs_debug(
-            _bshd_to_bhsd(q), _bshd_to_bhsd(k), lse,
-            softmax_scale=softmax_scale, causal=causal,
+            qt, kt, lse, softmax_scale=scale, causal=causal,
             window_size=window_size, softcap=softcap, dropout_p=dropout_p,
             dropout_seed=dropout_seed,
         )
-        return out, lse, s_dmask
-    return res
+        return _bshd_to_bhsd(out), lse, s_dmask
+    return _bshd_to_bhsd(res)
 
 
 def flash_attn_qkvpacked_func(qkv, dropout_p=0.0, softmax_scale=None,
