@@ -31,8 +31,10 @@ MODELS = {
 }
 
 
-def run(name="gpt2s", remat=False, steps=8):
+def run(name="gpt2s", remat=False, steps=8, batch=None):
     L, H, heads, B, S = MODELS[name]
+    if batch:
+        B = batch
     cfg = GPTConfig(
         vocab_size=50257, hidden_size=H, num_hidden_layers=L,
         num_attention_heads=heads, max_position_embeddings=S,
@@ -49,7 +51,7 @@ def run(name="gpt2s", remat=False, steps=8):
     def loss_fn(p, ids, labels):
         logits, _ = model.apply(p, ids)
         return cross_entropy_loss(
-            logits.reshape(-1, logits.shape[-1]).astype(jnp.float32),
+            logits.reshape(-1, logits.shape[-1]),
             labels.reshape(-1),
         ).mean()
 
@@ -95,7 +97,7 @@ def run(name="gpt2s", remat=False, steps=8):
     # alongside for roofline context, never as the headline.
     mfu = toks * fpt / _chip_peak_flops()
     hw_util = mfu * (4.0 / 3.0 if remat else 1.0)
-    print(f"{name} remat={remat}: {toks:,.0f} tokens/s, "
+    print(f"{name} remat={remat} b{B}: {toks:,.0f} tokens/s, "
           f"{toks * fpt / 1e12:.1f} TFLOP/s, model-FLOPs MFU {mfu:.1%}"
           + (f" (hw util incl. recompute {hw_util:.1%})" if remat else ""))
     return toks, mfu
@@ -105,6 +107,7 @@ if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", default="gpt2s", choices=list(MODELS))
     ap.add_argument("--remat", action="store_true")
+    ap.add_argument("--batch", type=int, default=None)
     ap.add_argument("--steps", type=int, default=8)
     a = ap.parse_args()
-    run(a.model, a.remat, a.steps)
+    run(a.model, a.remat, a.steps, a.batch)

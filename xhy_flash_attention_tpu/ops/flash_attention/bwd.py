@@ -980,15 +980,20 @@ def flash_attention_bwd(
     # per tile vs 7 for the split dKV+dQ pair — one recompute serves all
     # grads), accumulating it in a persistent VMEM scratch across the
     # sequential kv axis, or — when the scratch won't fit — in an fp32
-    # HBM partials workspace reduced by XLA. Only when neither fits (or
-    # there's a single KV block, where there is no duplicate recompute to
-    # save) does the separate dQ kernel below run. This serves every
-    # feature path: bias/segments/positions/flashmask/blocksparse ride
-    # the same scalar-prefetch machinery as dK/dV.
+    # HBM partials workspace reduced by XLA. Only when neither fits does
+    # the separate dQ kernel below run. This serves every feature path:
+    # bias/segments/positions/flashmask/blocksparse ride the same
+    # scalar-prefetch machinery as dK/dV. The single-KV-block case
+    # (nkv1 == 1, e.g. s <= 1024 at 1024 tiles) uses the merged kernel
+    # too: even though each (q, kv) pair is visited once either way, the
+    # split pair re-runs the exp-heavy p/ds recompute per kernel, and at
+    # d = 64 the VPU exp IS the kernel's critical path (profiled: the
+    # GPT-2 backward spent 2 of its 3 attention-kernel invocations
+    # per layer on duplicate recompute).
     dq_scratch_bytes = g * nq1 * bq1 * d * 4
     dq_in_scratch = dq_scratch_bytes <= MERGED_DQ_SCRATCH_CAP
     workspace_bytes = b * h * nkv1 * round_up(sq, bq1) * d * 4
-    with_dq = nkv1 >= 2 and (
+    with_dq = (
         dq_in_scratch or workspace_bytes <= MERGED_DQ_WORKSPACE_CAP
     )
 

@@ -143,7 +143,7 @@ class Trainer:
     def _loss_fn(self, params, ids, labels):
         logits, _ = self.model.apply(params, ids)
         losses = cross_entropy_loss(
-            logits.reshape(-1, logits.shape[-1]).astype(jnp.float32),
+            logits.reshape(-1, logits.shape[-1]),
             labels.reshape(-1),
         )
         return losses.mean()
@@ -211,7 +211,7 @@ class Trainer:
                 v_local = logits.shape[-1]
                 vocab_start = jax.lax.axis_index("tp") * v_local
                 losses = cross_entropy_loss(
-                    logits.reshape(-1, v_local).astype(jnp.float32),
+                    logits.reshape(-1, v_local),
                     labels.reshape(-1), 0.0, -100, 0.0, "tp", vocab_start,
                 )
                 return losses.mean()
