@@ -28,10 +28,15 @@ MODELS = {
     # 8k-seqlen variant (≙ reference pile/gpt3s-flash-8k): long-seq
     # attention dominates; exercises remat + the merged backward
     "gpt2s-8k": (12, 768, 12, 2, 8192),
+    # control: gpt2m geometry with MXU-native 128-dim heads — isolates how
+    # much of the MFU gap is GPT-2's d=64 head shape (half-width MXU
+    # operands in every attention matmul) vs the framework
+    "gpt2m-d128": (24, 1024, 8, 4, 1024),
 }
 
 
-def run(name="gpt2s", remat=False, steps=8, batch=None):
+def run(name="gpt2s", remat=False, steps=8, batch=None,
+        remat_policy="save_attn"):
     L, H, heads, B, S = MODELS[name]
     if batch:
         B = batch
@@ -39,6 +44,7 @@ def run(name="gpt2s", remat=False, steps=8, batch=None):
         vocab_size=50257, hidden_size=H, num_hidden_layers=L,
         num_attention_heads=heads, max_position_embeddings=S,
         pad_vocab_size_multiple=128, remat=remat, dtype=jnp.bfloat16,
+        remat_policy=remat_policy,
     )
     model = GPTLMHeadModel(cfg)
     rng = np.random.default_rng(0)
@@ -108,6 +114,8 @@ if __name__ == "__main__":
     ap.add_argument("--model", default="gpt2s", choices=list(MODELS))
     ap.add_argument("--remat", action="store_true")
     ap.add_argument("--batch", type=int, default=None)
+    ap.add_argument("--remat-policy", default="save_attn",
+                    choices=["save_attn", "nothing"])
     ap.add_argument("--steps", type=int, default=8)
     a = ap.parse_args()
-    run(a.model, a.remat, a.steps, a.batch)
+    run(a.model, a.remat, a.steps, a.batch, a.remat_policy)
