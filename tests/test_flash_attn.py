@@ -730,3 +730,37 @@ def test_flat_causal_iteration_matches_rectangular():
     assert grids[0][2:] == (4, 4), grids
     for a, bv, name in zip(outs[False], outs[True], ["out", "lse", "out_drop"]):
         assert np.array_equal(a, bv), name
+
+
+def test_flat_causal_bwd_matches_rectangular():
+    """Merged-backward flat lower-triangle grid (bwd.py flat_causal) must
+    be bitwise-identical to the rectangular grid (same per-row KV order),
+    including GQA group accumulation and dropout."""
+    import xhy_flash_attention_tpu.ops.flash_attention.bwd as B
+    import xhy_flash_attention_tpu.ops.flash_attention.fwd as F
+
+    key = jax.random.PRNGKey(1)
+    kq, kk, kv, kd = jax.random.split(key, 4)
+    b, h, hk, s, d = 2, 4, 2, 1024, 64
+    bs = BlockSizes(block_q=256, block_k=256, block_q_dkv=256,
+                    block_k_dkv=256, block_q_dq=256, block_k_dq=256)
+    q = _rand(kq, (b, h, s, d), jnp.bfloat16)
+    k = _rand(kk, (b, hk, s, d), jnp.bfloat16)
+    v = _rand(kv, (b, hk, s, d), jnp.bfloat16)
+    do = _rand(kd, (b, h, s, d), jnp.bfloat16)
+    out, lse = F.flash_attention_fwd(
+        q, k, v, sm_scale=d**-0.5, causal=True, block_sizes=bs)
+
+    res = {}
+    for flat in (False, True):
+        old = B.FLAT_CAUSAL
+        B.FLAT_CAUSAL = flat
+        try:
+            g = B.flash_attention_bwd(
+                q, k, v, out, lse, do, sm_scale=d**-0.5, causal=True,
+                block_sizes=bs, dropout_p=0.1, dropout_seed=jnp.int32(3))
+        finally:
+            B.FLAT_CAUSAL = old
+        res[flat] = [np.asarray(x) for x in g[:3]]
+    for a, bv, name in zip(res[False], res[True], ["dq", "dk", "dv"]):
+        assert np.array_equal(a, bv), name
