@@ -235,6 +235,53 @@ def main():
     ok &= _run_case("bias (1,h,s,s) + streamed dbias fwd+bwd", fn_b, ref_b,
                     qb, kb, vb, dob)
 
+    # 9. packed-page chunked decode with mixed/empty lengths — the per-page
+    # DMA validity guards are compiled-only (interpret falls back to
+    # clamped copies), so this is the one path the CPU suite cannot cover
+    try:
+        from xhy_flash_attention_tpu.inference.paged import (
+            PagedKVCache, paged_flash_decode,
+        )
+        from xhy_flash_attention_tpu.ops.flash_attention.decode_kernel \
+            import flash_decode
+
+        pb, ph, phk, pd, ps, npp = 4, 4, 2, 128, 128, 8
+        S = ps * npp
+        lengths = [1000, 0, 77, 1]
+        kf = rng.standard_normal((pb, phk, S, pd)).astype(np.float32)
+        vf = rng.standard_normal((pb, phk, S, pd)).astype(np.float32)
+        kpg = np.zeros((pb * npp + 1, phk, ps, pd), np.float32)
+        vpg = np.zeros_like(kpg)
+        table = np.zeros((pb, npp), np.int32)
+        pg = 1
+        for i in range(pb):
+            for blk in range(npp):
+                table[i, blk] = pg
+                kpg[pg] = kf[i, :, blk * ps:(blk + 1) * ps]
+                vpg[pg] = vf[i, :, blk * ps:(blk + 1) * ps]
+                pg += 1
+        cache = PagedKVCache.from_kv(
+            jnp.asarray(kpg, jnp.bfloat16), jnp.asarray(vpg, jnp.bfloat16),
+            jnp.asarray(table), jnp.asarray(lengths, jnp.int32))
+        pq = jnp.asarray(rng.standard_normal((pb, 1, ph, pd)), jnp.bfloat16)
+        outp = jax.jit(lambda q_, c: paged_flash_decode(
+            q_, c, softmax_scale=pd ** -0.5))(pq, cache)
+        refp = flash_decode(pq, jnp.asarray(kf, jnp.bfloat16),
+                            jnp.asarray(vf, jnp.bfloat16),
+                            jnp.asarray(lengths, jnp.int32),
+                            softmax_scale=pd ** -0.5)
+        live = np.asarray(lengths) > 0
+        err = np.abs(np.asarray(outp, np.float32)[live]
+                     - np.asarray(refp, np.float32).reshape(
+                         outp.shape)[live]).max()
+        pok = err < 0.05
+        ok &= pok
+        log(f"  paged chunked decode (guards, mixed/empty lengths): "
+            f"{'ok' if pok else 'FAIL'} (err {err:.4f} vs contiguous)")
+    except Exception as e:  # noqa: BLE001
+        ok = False
+        log(f"  paged chunked decode: FAIL ({type(e).__name__}: {e})")
+
     log(f"  RESULT: {'ALL OK' if ok else 'FAILURES PRESENT'}")
     return ok
 
