@@ -56,6 +56,9 @@ class MHA(nn.Module):
     # inside shard_map with the sequence sharded on this axis: ring
     # attention (context parallelism — new cross-chip long-context design)
     context_parallel_axis: Optional[str] = None
+    # balanced llama3-style causal ring layout; the caller feeds
+    # zigzag_shard-permuted tokens + position ids (parallel/ring.py)
+    context_parallel_zigzag: bool = False
 
     def setup(self):
         from .linear import QuantDense
@@ -264,6 +267,7 @@ class MHA(nn.Module):
             out = ring_flash_attention(
                 qt, kt, vt, self.context_parallel_axis, self.causal,
                 self.softmax_scale, self.softcap,
+                self.context_parallel_zigzag,
             )
             return jnp.swapaxes(out, 1, 2)
         out = flash_attention(

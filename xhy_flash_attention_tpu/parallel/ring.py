@@ -17,6 +17,18 @@ causal ring does ~half the work, matching the single-device causal saving.
 
 Backward is the standard ring: dK/dV accumulators travel around the ring
 with their KV block and arrive home after N steps; dQ accumulates locally.
+
+Causal load balance: with contiguous shards, ring step t is gated by the
+ranks whose (q shard, rotated kv shard) pair is fully visible — the
+fully-masked ranks skip their blocks (cheap) but still wait at the next
+ppermute, so a causal ring runs at ~50% utilization. `zigzag=True` uses
+the llama3-style layout instead: rank r owns sequence chunks r and
+2n-1-r (one early, one late), so every rank carries the same visible
+area at every step and the causal ring balances. The PERMUTATION IS THE
+CALLER'S CONTRACT: tokens (and any position ids fed to rotary/position
+embeddings) must be pre-permuted with `zigzag_shard` and outputs
+restored with `zigzag_unshard`; the kernels themselves just see the
+matching global positions.
 All state is carried by lax-compatible Python loops over the (static) axis
 size, so XLA can overlap each step's ppermute with the previous step's
 kernel.
@@ -44,7 +56,36 @@ import jax.numpy as jnp
 from ..ops.flash_attention.bwd import flash_attention_bwd
 from ..ops.flash_attention.fwd import flash_attention_fwd
 
-__all__ = ["ring_flash_attention", "sharded_kv_decode"]
+__all__ = ["ring_flash_attention", "sharded_kv_decode", "zigzag_shard",
+           "zigzag_unshard"]
+
+
+def zigzag_shard(x: jax.Array, n: int, axis: int = 1) -> jax.Array:
+    """Reorder a GLOBAL sequence axis into the zigzag layout: chunk order
+    (c0, c_{2n-1}, c1, c_{2n-2}, ...) so that an even split over n ranks
+    gives rank r chunks (c_r, c_{2n-1-r}). Apply before sharding; apply
+    the same permutation to position ids."""
+    S = x.shape[axis]
+    assert S % (2 * n) == 0, (S, n)
+    perm = []
+    for r in range(n):
+        perm += [r, 2 * n - 1 - r]
+    xs = jnp.split(x, 2 * n, axis=axis)
+    return jnp.concatenate([xs[c] for c in perm], axis=axis)
+
+
+def zigzag_unshard(x: jax.Array, n: int, axis: int = 1) -> jax.Array:
+    """Inverse of zigzag_shard on the same global axis."""
+    S = x.shape[axis]
+    assert S % (2 * n) == 0, (S, n)
+    perm = []
+    for r in range(n):
+        perm += [r, 2 * n - 1 - r]
+    inv = [0] * (2 * n)
+    for i, c in enumerate(perm):
+        inv[c] = i
+    xs = jnp.split(x, 2 * n, axis=axis)
+    return jnp.concatenate([xs[i] for i in inv], axis=axis)
 
 
 def _rotate(x, axis_name, n):
@@ -70,7 +111,7 @@ def _merge(o, lse, o_new, lse_new):
     return o_merged, lse_merged
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
 def ring_flash_attention(
     q: jax.Array,
     k: jax.Array,
@@ -79,27 +120,42 @@ def ring_flash_attention(
     causal: bool = False,
     softmax_scale: Optional[float] = None,
     softcap: float = 0.0,
+    zigzag: bool = False,
 ) -> jax.Array:
     """Flash attention over a sequence sharded on `axis_name`.
 
     q, k, v: local shards (b, h, s_local, d) inside shard_map. Returns the
     local output shard (b, h, s_local, d). Differentiable in q, k, v.
+    zigzag: shards follow the balanced layout (see module docstring);
+    tokens must be pre-permuted with zigzag_shard.
     """
-    out, _ = _ring_fwd_impl(q, k, v, axis_name, causal, softmax_scale, softcap)
+    out, _ = _ring_fwd_impl(q, k, v, axis_name, causal, softmax_scale,
+                            softcap, zigzag)
     return out
 
 
-def _positions(s_local, axis_name, batch):
+def _positions(s_local, axis_name, batch, zigzag=False):
     me = jax.lax.axis_index(axis_name)
-    pos = me * s_local + jnp.arange(s_local, dtype=jnp.int32)
+    if zigzag:
+        # rank r owns chunks r and 2n-1-r of the 2n-chunk global split
+        n = jax.lax.psum(1, axis_name)
+        half = s_local // 2
+        a = jnp.arange(half, dtype=jnp.int32)
+        pos = jnp.concatenate([me * half + a,
+                               (2 * n - 1 - me) * half + a])
+    else:
+        pos = me * s_local + jnp.arange(s_local, dtype=jnp.int32)
     return jnp.broadcast_to(pos, (batch, s_local))
 
 
-def _ring_fwd_impl(q, k, v, axis_name, causal, softmax_scale, softcap):
+def _ring_fwd_impl(q, k, v, axis_name, causal, softmax_scale, softcap,
+                   zigzag=False):
     n = jax.lax.psum(1, axis_name)
     b, h, s_local, d = q.shape
+    if zigzag and s_local % 2 != 0:
+        raise ValueError("zigzag needs an even local sequence length")
     scale = softmax_scale if softmax_scale is not None else d ** -0.5
-    qpos = _positions(s_local, axis_name, b) if causal else None
+    qpos = _positions(s_local, axis_name, b, zigzag) if causal else None
     kpos = qpos
 
     o = jnp.zeros((b, h, s_local, d), jnp.float32)
@@ -130,18 +186,19 @@ def _ring_fwd_impl(q, k, v, axis_name, causal, softmax_scale, softcap):
     return o.astype(q.dtype), lse_out
 
 
-def _ring_fwd(q, k, v, axis_name, causal, softmax_scale, softcap):
+def _ring_fwd(q, k, v, axis_name, causal, softmax_scale, softcap,
+              zigzag=False):
     out, lse = _ring_fwd_impl(q, k, v, axis_name, causal, softmax_scale,
-                              softcap)
+                              softcap, zigzag)
     return out, (q, k, v, out, lse)
 
 
-def _ring_bwd(axis_name, causal, softmax_scale, softcap, res, do):
+def _ring_bwd(axis_name, causal, softmax_scale, softcap, zigzag, res, do):
     q, k, v, out, lse = res
     n = jax.lax.psum(1, axis_name)
     b, h, s_local, d = q.shape
     scale = softmax_scale if softmax_scale is not None else d ** -0.5
-    qpos = _positions(s_local, axis_name, b) if causal else None
+    qpos = _positions(s_local, axis_name, b, zigzag) if causal else None
 
     dq = jnp.zeros_like(q, jnp.float32)
     # (k block, v block, its positions, its dk accum, its dv accum) travel
