@@ -764,3 +764,47 @@ def test_flat_causal_bwd_matches_rectangular():
         res[flat] = [np.asarray(x) for x in g[:3]]
     for a, bv, name in zip(res[False], res[True], ["dq", "dk", "dv"]):
         assert np.array_equal(a, bv), name
+
+
+@pytest.mark.parametrize(
+    "sq,sk,window",
+    [
+        (1024, 1024, (300, 0)),    # causal + sliding window
+        (1024, 1024, (300, -1)),   # left-only window
+        (512, 1024, (-1, 0)),      # causal prefix (sq < sk)
+        (1024, 512, (-1, 0)),      # empty early rows (sq > sk)
+        (700, 900, (260, 30)),     # odd lengths, both bounds
+    ],
+)
+def test_flat_windowed_iteration_matches_rectangular(sq, sk, window):
+    """The flat grid generalizes past pure causal: any static window
+    enumerates only the visible (q, kv) block pairs (rows with an empty
+    window get one dummy visit for the out=0/lse=inf contract) and must
+    reproduce the rectangular grid bitwise."""
+    import xhy_flash_attention_tpu.ops.flash_attention.bwd as B
+    import xhy_flash_attention_tpu.ops.flash_attention.fwd as F
+
+    key = jax.random.PRNGKey(3)
+    kq, kk, kv, kd = jax.random.split(key, 4)
+    b, h, hk, d = 2, 2, 2, 64
+    bs = BlockSizes(block_q=256, block_k=256, block_q_dkv=256,
+                    block_k_dkv=256, block_q_dq=256, block_k_dq=256)
+    q = _rand(kq, (b, h, sq, d), jnp.bfloat16)
+    k = _rand(kk, (b, hk, sk, d), jnp.bfloat16)
+    v = _rand(kv, (b, hk, sk, d), jnp.bfloat16)
+    do = _rand(kd, (b, h, sq, d), jnp.bfloat16)
+    kw = dict(sm_scale=d**-0.5, window_size=window, block_sizes=bs)
+
+    outs = {}
+    for flat in (False, True):
+        F.FLAT_CAUSAL = B.FLAT_CAUSAL = flat
+        try:
+            o, lse = F.flash_attention_fwd(q, k, v, **kw)
+            g = (B.flash_attention_bwd(q, k, v, o, lse, do, **kw)[:3]
+                 if sq == sk else ())
+        finally:
+            F.FLAT_CAUSAL = B.FLAT_CAUSAL = True
+        outs[flat] = [np.asarray(o), np.asarray(lse),
+                      *[np.asarray(x) for x in g]]
+    for i, (a, bv) in enumerate(zip(outs[False], outs[True])):
+        assert np.array_equal(a, bv), i

@@ -200,13 +200,19 @@ def _bwd_dkv_kernel(refs, *, params):
 
     b_idx, h_idx = pl.program_id(0), pl.program_id(1)
     if flat_iter:
-        # Flat causal iteration: one sequential axis over the visited
-        # lower-triangle (kv-block, q-block x group) pairs only — the
-        # rectangular grid's dead iq < ikv steps never run (mirror of the
-        # fwd kernel's flat_causal; see fwd.py)
+        # Flat windowed iteration: one sequential axis over the visited
+        # (kv-block, q-block x group) pairs only — the rectangular grid's
+        # masked steps (upper triangle; outside a sliding window) never
+        # run (mirror of the fwd kernel's flat_causal; see fwd.py).
+        # Sweep boundaries come from neighbor comparisons on ikv_tab
+        # (trailing -1 sentinel).
         t = pl.program_id(2)
         ikv = ikvt_ref[t]
         j_inner = jt_ref[t]
+        sweep_first = jnp.logical_or(
+            t == 0, ikvt_ref[jnp.maximum(t - 1, 0)] != ikv
+        )
+        sweep_last = ikvt_ref[t + 1] != ikv
     else:
         ikv, j_inner = pl.program_id(2), pl.program_id(3)
     bq, bk = params["block_q"], params["block_k"]
@@ -237,16 +243,32 @@ def _bwd_dkv_kernel(refs, *, params):
     dbias_group_acc = params.get("dbias_group_acc", False)
 
     # first visited j of kv sweep ikv: 0 on the rectangular grid; the
-    # diagonal q-block (iq == ikv, member 0) on the flat causal grid
-    @pl.when(j_inner == ikv * g if flat_iter else j_inner == 0)
+    # sweep's first table entry (the diagonal q-block) on the flat grid
+    @pl.when(sweep_first if flat_iter else j_inner == 0)
     def _init():
         dk_scr[...] = jnp.zeros_like(dk_scr)
         dv_scr[...] = jnp.zeros_like(dv_scr)
 
     if dq_scr is not None:
-        # each (group member, q-block) cell owns its dq slice; zero it on
-        # the first kv sweep (unconditionally — skipped pairs too)
-        @pl.when(ikv == 0)
+        # each (group member, q-block) cell owns its dq slice; zero it at
+        # its row's FIRST visited sweep — ikv == 0 on the rectangular grid
+        # (which visits every pair), the window's left-edge block on the
+        # flat grid (rows outside sweep 0's window are first visited
+        # later)
+        if flat_iter:
+            w0 = params["window"][0] if params["has_left"] else -1
+            off = params["offset"]
+            iq_v = j_inner // g if g > 1 else j_inner
+            if params["has_left"]:
+                first_kv = jnp.maximum(
+                    (iq_v * bq + off - w0) // bk, 0)
+            else:
+                first_kv = 0
+            dq_zero_now = ikv == first_kv
+        else:
+            dq_zero_now = ikv == 0
+
+        @pl.when(dq_zero_now)
         def _init_dq():
             dq_scr[j_inner] = jnp.zeros((bq, dq_scr.shape[-1]), jnp.float32)
 
@@ -440,7 +462,7 @@ def _bwd_dkv_kernel(refs, *, params):
         def _emit_dq():
             dq_ref[0, 0] = dq_scr[j_inner]
 
-    @pl.when(j_inner == g * nq - 1)
+    @pl.when(sweep_last if flat_iter else j_inner == g * nq - 1)
     def _finish():
         dk_ref[0, 0] = dk_scr[...]
         dv_ref[0, 0] = dv_scr[...]
@@ -1005,7 +1027,7 @@ def flash_attention_bwd(
     # relies on dead steps zeroing their partial blocks).
     flat_causal = (
         FLAT_CAUSAL and has_right and offset + window_size[1] == 0
-        and not has_left and not has_bias and not has_segments
+        and not has_bias and not has_segments
         and not has_flashmask and not has_blockmask and not has_positions
         and bq1 == bk1 and sq == sk and sq % bq1 == 0
         and with_dq and dq_in_scratch
@@ -1048,14 +1070,23 @@ def flash_attention_bwd(
                             ikv, _iq_of(j), *refs)
     flat_tabs1 = []
     if flat_causal:
+        # sweep ikv visits q rows [ikv, nq) whose (optional) left window
+        # still reaches back to this kv block
+        def _lo(i):
+            if not has_left:
+                return 0
+            return max(0, (i * bq1 + offset - window_size[0]) // bk1)
+
         pairs1 = [
             (ikv, iq * g + gi)
             for ikv in range(nkv1)
             for iq in range(ikv, nq1)
+            if _lo(iq) <= ikv
             for gi in range(g)
         ]
         flat_tabs1 = [
-            jnp.asarray([p[0] for p in pairs1], jnp.int32),
+            # trailing -1 sentinel for the kernel's sweep_last check
+            jnp.asarray([p[0] for p in pairs1] + [-1], jnp.int32),
             jnp.asarray([p[1] for p in pairs1], jnp.int32),
         ]
         # the flat tables are the last two scalar-prefetch refs (eff is

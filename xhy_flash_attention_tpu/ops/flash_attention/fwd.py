@@ -136,20 +136,29 @@ def _fwd_kernel(
     b_idx = pl.program_id(0)
     h_idx = pl.program_id(1)
     if flat_iter:
-        # Flat causal iteration: the (iq, kv) plane is collapsed to ONE
-        # sequential axis that enumerates only the visited lower-triangle
-        # pairs (scalar-prefetched tables), so the skipped upper-triangle
-        # steps of the rectangular grid never run at all (≙ the reference's
-        # n_block_max clamp, flash_fwd_kernel.h:147-153 — there the inner
-        # KV loop simply starts at the diagonal).
+        # Flat windowed iteration: the (iq, kv) plane is collapsed to ONE
+        # sequential axis that enumerates only each row's visible KV
+        # blocks (scalar-prefetched tables), so the masked steps of the
+        # rectangular grid never run at all (≙ the reference's
+        # n_block_min/max clamps, flash_fwd_kernel.h:147-153 — there the
+        # inner KV loop simply starts/stops at the window edge). Row
+        # boundaries come from neighbor-table comparisons: iq_tab carries
+        # a trailing -1 sentinel so `row_last` is well-defined at the
+        # final step.
         t = pl.program_id(2)
         iq = iqt_ref[t]
         ikv = ikvt_ref[t]
+        row_first = jnp.logical_or(
+            t == 0, iqt_ref[jnp.maximum(t - 1, 0)] != iq
+        )
+        row_last = iqt_ref[t + 1] != iq
     else:
         iq = pl.program_id(2)
         ikv = pl.program_id(3)
+        row_first = ikv == 0
+        row_last = ikv == num_kv_blocks - 1
 
-    @pl.when(ikv == 0)
+    @pl.when(row_first)
     def _init():
         if deferred and zero_seed:
             # Zero-seeded deferred shift: EVERY block (including ikv == 0)
@@ -429,9 +438,7 @@ def _fwd_kernel(
     else:
         dispatch(should_run, False)
 
-    # flat causal iteration visits row iq's KV blocks 0..iq (bq == bk), so
-    # its last sequential step is ikv == iq, not nkv - 1
-    @pl.when(ikv == iq if flat_iter else ikv == num_kv_blocks - 1)
+    @pl.when(row_last)
     def _finish():
         l = l_scr[:, :1]
         l_inv = jnp.where(l == 0.0, 0.0, 1.0 / l)
@@ -647,20 +654,41 @@ def flash_attention_fwd(
         and bq == bk and sq == sk and sqp == sq and skp == sk
         and not has_flashmask and not has_positions
     )
-    # Flat causal iteration (see _fwd_kernel): collapse (iq, ikv) into one
-    # sequential axis over the visited lower-triangle pairs only. The
-    # rectangular grid steps through nq*nkv pairs and `should_run`-skips
-    # the upper triangle (37.5% dead steps at s=4096/1024² tiles); here
-    # those steps don't exist. Requires the aligned pure-causal geometry
-    # (bq == bk, every row's KV range is blocks 0..iq) and no
-    # feature that re-routes the KV index map.
+    # Flat windowed iteration (see _fwd_kernel): collapse (iq, ikv) into
+    # one sequential axis that enumerates only each q row's visible KV
+    # blocks. The rectangular grid steps through nq*nkv pairs and
+    # `should_run`-skips the masked ones — 37.5% dead steps for causal at
+    # s=4096/1024² tiles, and up to ~(1 - w/s) for a sliding window w at
+    # long s (Mistral-style prefill); here those steps never exist. Rows
+    # whose window is empty get one dummy visit so the empty-row contract
+    # (out = 0, lse = +inf) is still written. Works for any static
+    # causal/window bounds; excluded only for the features that re-route
+    # the KV index map or index workspaces by the raw rectangular step.
     flat_causal = (
-        FLAT_CAUSAL and diag_mask_tile and bias is None
+        FLAT_CAUSAL and (has_right or has_left) and bias is None
         and not has_segments and not has_blockmask and not has_eff
+        and not has_flashmask and not has_positions
     )
     if flat_causal:
-        pairs = [(i, j) for i in range(nq) for j in range(i + 1)]
-        iq_tab = jnp.asarray([p[0] for p in pairs], jnp.int32)
+        pairs = []
+        last_kv_blk = (sk - 1) // bk
+        for i in range(nq):
+            if i * bq >= sq:
+                break  # padded q rows: sliced away, never visited
+            q_last_i = min(i * bq + bq, sq) - 1
+            hi = last_kv_blk
+            if has_right:
+                hi = min(hi, (q_last_i + offset + window_size[1]) // bk)
+            lo = 0
+            if has_left:
+                lo = max(0, (i * bq + offset - window_size[0]) // bk)
+            if hi < lo:
+                pairs.append((i, 0))  # dummy: zeros out, lse = +inf
+            else:
+                pairs.extend((i, j) for j in range(lo, hi + 1))
+        # sentinel -1 after the last entry: the kernel's last-of-row check
+        # reads iq_tab[t + 1]
+        iq_tab = jnp.asarray([p[0] for p in pairs] + [-1], jnp.int32)
         ikv_tab = jnp.asarray([p[1] for p in pairs], jnp.int32)
         inputs.extend([iq_tab, ikv_tab])
         num_scalar_prefetch += 2
