@@ -587,3 +587,35 @@ def test_paged_chunked_mixed_lengths_and_empty_slots():
     live = np.asarray(lengths) > 0
     np.testing.assert_allclose(
         np.asarray(out)[live], np.asarray(ref)[live], atol=2e-5, rtol=1e-4)
+
+
+def test_decode_sliding_window_matches_xla():
+    """Windowed decode (retained long cache): the first-visible-block DMA
+    clamp must not change numerics vs a dense XLA reference — blocks left
+    of every query's window are skipped, boundary blocks masked."""
+    from xhy_flash_attention_tpu.ops.flash_attention.decode_kernel import (
+        flash_decode,
+    )
+
+    rng = np.random.default_rng(11)
+    b, h, hk, d, S, w = 2, 4, 2, 64, 2048, 300
+    k = jnp.asarray(rng.standard_normal((b, hk, S, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, hk, S, d)), jnp.float32)
+    lengths = jnp.asarray([1800, 700], jnp.int32)
+    for sq in (1, 4):
+        q = jnp.asarray(rng.standard_normal((b, sq, h, d)), jnp.float32)
+        out = flash_decode(q, k, v, lengths, softmax_scale=d ** -0.5,
+                           window_size=(w, -1), block_k=512)
+        kk = jnp.repeat(k, h // hk, axis=1)
+        vv = jnp.repeat(v, h // hk, axis=1)
+        qt = jnp.swapaxes(q, 1, 2)
+        s = jnp.einsum("bhqd,bhkd->bhqk", qt, kk) * d ** -0.5
+        pos = lengths[:, None] - sq + jnp.arange(sq)[None]
+        cols = jnp.arange(S)
+        mask = ((cols[None, None] <= pos[..., None])
+                & (cols[None, None] >= pos[..., None] - w))
+        s = jnp.where(mask[:, None], s, -jnp.inf)
+        p = jax.nn.softmax(s, axis=-1)
+        ref = jnp.swapaxes(jnp.einsum("bhqk,bhkd->bhqd", p, vv), 1, 2)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-4)

@@ -45,6 +45,8 @@ def _decode_kernel(lens_ref, hi_ref, *refs,
     if has_kvb:
         next(it)  # kv_batch_idx: consumed by the index maps only
     lp_ref = next(it) if has_leftpad else None
+    if window_left >= 0:
+        next(it)  # first-visible-block table: consumed by the index maps
     if quantized:
         (q_ref, k_ref, ks_ref, v_ref, vs_ref, o_ref,
          m_scr, l_scr, acc_scr) = it
@@ -135,6 +137,13 @@ def _decode_kernel(lens_ref, hi_ref, *refs,
     should_run = c_start < end_pos
     if has_leftpad:
         should_run = jnp.logical_and(should_run, c_start + block_k > lp)
+    if window_left >= 0:
+        # blocks entirely left of every query's window: skip compute (the
+        # index maps also clamp their DMA onto the first visible block, so
+        # a long retained cache costs ~window bytes, not ~context bytes)
+        should_run = jnp.logical_and(
+            should_run, c_start + block_k > end_pos - sq - window_left
+        )
 
     @pl.when(jnp.logical_and(should_run, fully_unmasked))
     def _fast():
@@ -227,21 +236,33 @@ def flash_decode(
     lens32 = jnp.asarray(lengths, jnp.int32)
     lp32 = jnp.asarray(leftpad_k, jnp.int32) if has_leftpad else 0
     hi_blocks = jnp.maximum((lp32 + lens32 - 1) // block_k, 0)
+    has_window = window_size[0] >= 0
     extra_prefetch = []
     if has_kvb:
         extra_prefetch.append(jnp.asarray(kv_batch_idx, jnp.int32))
     if has_leftpad:
         extra_prefetch.append(jnp.asarray(leftpad_k, jnp.int32))
+    if has_window:
+        # first block any query's sliding window can see — leading blocks
+        # clamp onto it so a retained long cache streams ~window bytes
+        extra_prefetch.append(jnp.maximum(
+            (lp32 + lens32 - sq - window_size[0]) // block_k, 0))
 
     def cache_b(b_, refs):
-        # refs = (lens, hi[, kvb][, lp]) — kvb sits right after hi
+        # refs = (lens, hi[, kvb][, lp][, lo]) — kvb sits right after hi
         return refs[2][b_] if has_kvb else b_
 
+    def _clamp(b_, ikv, refs):
+        i = jnp.minimum(ikv, refs[1][b_])
+        if has_window:
+            i = jnp.maximum(i, refs[-1][b_])
+        return i
+
     def kv_index(b_, h_, ikv, *refs):
-        return (cache_b(b_, refs), h_, jnp.minimum(ikv, refs[1][b_]), 0)
+        return (cache_b(b_, refs), h_, _clamp(b_, ikv, refs), 0)
 
     def sc_index(b_, h_, ikv, *refs):
-        return (cache_b(b_, refs), h_, 0, jnp.minimum(ikv, refs[1][b_]))
+        return (cache_b(b_, refs), h_, 0, _clamp(b_, ikv, refs))
 
     out = pl.pallas_call(
         functools.partial(
