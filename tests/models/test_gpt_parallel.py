@@ -233,3 +233,39 @@ def test_context_parallel_forward_matches_single_device():
     np.testing.assert_allclose(
         np.asarray(out), np.asarray(expect), atol=2e-4, rtol=1e-3
     )
+
+
+def test_context_parallel_zigzag_matches_single_device():
+    """Balanced zigzag CP with ROTARY: the data pipeline feeds
+    zigzag-permuted token shards; MHA rebuilds rotary at the matching
+    zigzag global positions and the ring masks by the same positions, so
+    unsharding the logits must reproduce the single-device forward."""
+    from xhy_flash_attention_tpu.parallel.ring import (
+        zigzag_shard,
+        zigzag_unshard,
+    )
+
+    cp = 4
+    cfg = _mk_config(dtype=jnp.float32)
+    model = GPTLMHeadModel(cfg)
+    rng = np.random.default_rng(0)
+    ids = jnp.asarray(rng.integers(0, cfg.vocab_size, (2, 256)), jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), ids[:, :8])
+    expect, _ = model.apply(params, ids)
+
+    cfg_cp = GPTConfig(**{**cfg.__dict__, "context_parallel_axis": "tp",
+                          "context_parallel_zigzag": True})
+    model_cp = GPTLMHeadModel(cfg_cp)
+    mesh = make_mesh(dp=1, tp=cp)
+    ids_z = zigzag_shard(ids, cp, axis=1)
+    out_z = shard_map(
+        lambda p, x: model_cp.apply(p, x)[0],
+        mesh=mesh,
+        in_specs=(P(), P(None, "tp")),
+        out_specs=P(None, "tp"),
+        check_vma=False,
+    )(params, ids_z)
+    out = zigzag_unshard(out_z, cp, axis=1)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(expect), atol=2e-4, rtol=1e-3
+    )

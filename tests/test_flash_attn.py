@@ -796,6 +796,7 @@ def test_flat_windowed_iteration_matches_rectangular(sq, sk, window):
     kw = dict(sm_scale=d**-0.5, window_size=window, block_sizes=bs)
 
     outs = {}
+    old_f, old_b = F.FLAT_CAUSAL, B.FLAT_CAUSAL
     for flat in (False, True):
         F.FLAT_CAUSAL = B.FLAT_CAUSAL = flat
         try:
@@ -803,7 +804,7 @@ def test_flat_windowed_iteration_matches_rectangular(sq, sk, window):
             g = (B.flash_attention_bwd(q, k, v, o, lse, do, **kw)[:3]
                  if sq == sk else ())
         finally:
-            F.FLAT_CAUSAL = B.FLAT_CAUSAL = True
+            F.FLAT_CAUSAL, B.FLAT_CAUSAL = old_f, old_b
         outs[flat] = [np.asarray(o), np.asarray(lse),
                       *[np.asarray(x) for x in g]]
     for i, (a, bv) in enumerate(zip(outs[False], outs[True])):

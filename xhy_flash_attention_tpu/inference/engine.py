@@ -77,10 +77,10 @@ def _scatter_prefill(caches, new_kv, page_map, slot_ids, lengths_new):
                 jnp.swapaxes(kq.scales[..., 0], 1, 2),   # (nb, cap, hk)
                 jnp.swapaxes(vq.scales[..., 0], 1, 2),
             ], axis=-1)                                   # (nb, cap, hk, 2)
-            smax = cache.kv_scales.shape[-1]
-            posc = jnp.minimum(jnp.arange(cap, dtype=jnp.int32), smax - 1)
+            posc = jnp.arange(cap, dtype=jnp.int32)
             kv_scales = cache.kv_scales.at[
-                slot_ids[:, None], :, :, posc[None, :]].set(sc)
+                slot_ids[:, None], :, :, posc[None, :]].set(
+                    sc, mode="drop")
         else:
             kvals, vvals = kc, vc
             kv_scales = cache.kv_scales

@@ -450,6 +450,10 @@ def _paged_decode_chunked(q, cache, qr, *, sm_scale, window_size, softcap,
             # strictly sequential row-major execution: the cross-cell
             # issue-ahead depends on the grid order
             dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+            # the double-buffered packed kvbuf alone is 2*2*C*ps*d bytes
+            # (16.8 MB at d=256 bf16 with 8k-token chunks) — over the
+            # 16 MB scoped-VMEM default; v5e has headroom (CLAUDE.md)
+            vmem_limit_bytes=64 * 2**20,
         ),
         interpret=interp,
     )(cache.lengths.astype(jnp.int32),
@@ -609,10 +613,13 @@ def append_paged_kv(
             jnp.swapaxes(kq.scales[..., 0], 1, 2),  # (b, sq, hk)
             jnp.swapaxes(vq.scales[..., 0], 1, 2),
         ], axis=-1)                                  # (b, sq, hk, 2)
-        smax = cache.kv_scales.shape[-1]
+        # overflow tokens (slot at capacity): the K/V row lands on the
+        # trash page via the page table, but the linear scale buffer has
+        # no sink — DROP out-of-range writes instead of clamping them
+        # onto the last real token's scale
         bidx = jnp.arange(b, dtype=jnp.int32)[:, None]
         kv_scales = cache.kv_scales.at[
-            bidx, :, :, jnp.clip(pos, 0, smax - 1)].set(sc_rows)
+            bidx, :, :, pos].set(sc_rows, mode="drop")
         return PagedKVCache(
             kv_pages=write(cache.kv_pages, kq.values, vq.values),
             page_table=cache.page_table,

@@ -80,6 +80,10 @@ class GPTConfig:
     # inside shard_map with the sequence sharded on this axis: ring
     # attention in every layer (context parallelism)
     context_parallel_axis: Optional[str] = None
+    # balanced llama3-style causal ring layout (parallel/ring.py): the
+    # data pipeline feeds zigzag_shard-permuted token shards; rotary and
+    # position embeddings are applied at the matching zigzag positions
+    context_parallel_zigzag: bool = False
     # inside shard_map: Megatron tensor/sequence parallelism (D2/D3)
     tensor_parallel_axis: Optional[str] = None
     sequence_parallel: bool = False
@@ -121,6 +125,7 @@ def _mixer_cls(config: GPTConfig):
         dtype=config.dtype,
         weight_quant_dtype=config.weight_quant_dtype,
         context_parallel_axis=config.context_parallel_axis,
+        context_parallel_zigzag=config.context_parallel_zigzag,
     )
 
 
@@ -180,10 +185,23 @@ class GPTModel(nn.Module):
                 and isinstance(seqlen_offset, int) and seqlen_offset == 0):
             # context parallelism: this shard's rows start at its global
             # offset (positions/rotary must see absolute positions)
-            seqlen_offset = (
-                jax.lax.axis_index(c.context_parallel_axis)
-                * input_ids.shape[1]
-            )
+            if c.context_parallel_zigzag:
+                # zigzag layout: this shard holds chunks r and 2n-1-r —
+                # feed the matching global positions to the (learned)
+                # position embeddings; MHA rebuilds rotary the same way
+                n_cp = jax.lax.psum(1, c.context_parallel_axis)
+                me = jax.lax.axis_index(c.context_parallel_axis)
+                half = input_ids.shape[1] // 2
+                a = jnp.arange(half, dtype=jnp.int32)
+                zz = jnp.concatenate(
+                    [me * half + a, (2 * n_cp - 1 - me) * half + a])
+                if position_ids is None:
+                    position_ids = jnp.broadcast_to(zz, input_ids.shape)
+            else:
+                seqlen_offset = (
+                    jax.lax.axis_index(c.context_parallel_axis)
+                    * input_ids.shape[1]
+                )
         x = GPT2Embeddings(
             embed_dim=c.hidden_size,
             vocab_size=c.padded_vocab_size,

@@ -146,12 +146,32 @@ class MHA(nn.Module):
         from ..inference.paged import PagedKVCache
 
         paged = isinstance(kv_cache, PagedKVCache)
+        zz_cp = (self.context_parallel_zigzag
+                 and self.context_parallel_axis is not None
+                 and kv_cache is None)
         if self.rotary_emb_dim > 0:
             cos, sin, cos_k, sin_k = self.rotary.cos_sin(
                 sq, q.dtype,
                 offset=seqlen_offset if isinstance(seqlen_offset, int) else 0,
             )
-            if not isinstance(seqlen_offset, int):
+            if zz_cp:
+                # zigzag context parallelism: this shard's tokens sit at
+                # two disjoint global chunks — rebuild rotary tables at
+                # the zigzag positions (the ring kernel masks by the same
+                # positions; a contiguous offset would rotate K against
+                # the wrong phases)
+                n_cp = jax.lax.psum(1, self.context_parallel_axis)
+                me = jax.lax.axis_index(self.context_parallel_axis)
+                half = sq // 2
+                a = jnp.arange(half, dtype=jnp.int32)
+                idx = jnp.concatenate(
+                    [me * half + a, (2 * n_cp - 1 - me) * half + a])
+                cos_full, sin_full, _, _ = self.rotary.cos_sin(
+                    sq * n_cp, q.dtype,
+                )
+                cos = jnp.take(cos_full, idx, axis=0)
+                sin = jnp.take(sin_full, idx, axis=0)
+            elif not isinstance(seqlen_offset, int):
                 # traced offset (decode / context-parallel shards): rebuild
                 # at absolute positions; a (b,) offset vector (ragged
                 # continuous batching) yields per-sample (b, sq, ro/2)

@@ -60,32 +60,36 @@ __all__ = ["ring_flash_attention", "sharded_kv_decode", "zigzag_shard",
            "zigzag_unshard"]
 
 
-def zigzag_shard(x: jax.Array, n: int, axis: int = 1) -> jax.Array:
-    """Reorder a GLOBAL sequence axis into the zigzag layout: chunk order
-    (c0, c_{2n-1}, c1, c_{2n-2}, ...) so that an even split over n ranks
-    gives rank r chunks (c_r, c_{2n-1-r}). Apply before sharding; apply
-    the same permutation to position ids."""
-    S = x.shape[axis]
-    assert S % (2 * n) == 0, (S, n)
+def _zigzag_perm(n: int):
+    """Chunk order (c0, c_{2n-1}, c1, c_{2n-2}, ...): rank r of an even
+    n-way split gets chunks (c_r, c_{2n-1-r})."""
     perm = []
     for r in range(n):
         perm += [r, 2 * n - 1 - r]
+    return perm
+
+
+def _permute_chunks(x, n, axis, perm):
+    S = x.shape[axis]
+    assert S % (2 * n) == 0, (S, n)
     xs = jnp.split(x, 2 * n, axis=axis)
     return jnp.concatenate([xs[c] for c in perm], axis=axis)
 
 
+def zigzag_shard(x: jax.Array, n: int, axis: int = 1) -> jax.Array:
+    """Reorder a GLOBAL sequence axis into the zigzag layout (see
+    _zigzag_perm). Apply before sharding; apply the same permutation to
+    position ids."""
+    return _permute_chunks(x, n, axis, _zigzag_perm(n))
+
+
 def zigzag_unshard(x: jax.Array, n: int, axis: int = 1) -> jax.Array:
     """Inverse of zigzag_shard on the same global axis."""
-    S = x.shape[axis]
-    assert S % (2 * n) == 0, (S, n)
-    perm = []
-    for r in range(n):
-        perm += [r, 2 * n - 1 - r]
-    inv = [0] * (2 * n)
+    perm = _zigzag_perm(n)
+    inv = [0] * len(perm)
     for i, c in enumerate(perm):
         inv[c] = i
-    xs = jnp.split(x, 2 * n, axis=axis)
-    return jnp.concatenate([xs[i] for i in inv], axis=axis)
+    return _permute_chunks(x, n, axis, inv)
 
 
 def _rotate(x, axis_name, n):
