@@ -60,8 +60,10 @@ def build_step(name="gpt2m", remat=False, batch=None):
 
 
 def parse_xplane(trace_dir, top=40):
-    from xprof.convert import raw_to_tool_data  # noqa: F401  (plugin check)
-    from tensorboard_plugin_profile.protobuf import xplane_pb2
+    try:
+        from tensorboard_plugin_profile.protobuf import xplane_pb2
+    except ImportError:
+        from tensorflow.tsl.profiler.protobuf import xplane_pb2
 
     paths = glob.glob(os.path.join(trace_dir, "**", "*.xplane.pb"),
                       recursive=True)
@@ -71,65 +73,56 @@ def parse_xplane(trace_dir, top=40):
     xspace = xplane_pb2.XSpace()
     xspace.ParseFromString(data)
 
-    rows = []  # (dur_us, name)
+    rows = []  # (dur_ms, display, category, flops, bytes, src, tf_op)
     for plane in xspace.planes:
-        if "TPU" not in plane.name and "device" not in plane.name.lower():
+        if plane.name != "/device:TPU:0":
             continue
         ev_meta = plane.event_metadata
+        smeta = plane.stat_metadata
         for line in plane.lines:
-            # XLA op lines carry per-HLO events; step/module lines aggregate
-            if line.name.lower() in ("steps",):
-                continue
-            if "xla op" not in line.name.lower() and "ops" != line.name.lower():
+            # Only the serial per-HLO execution timeline. "Async XLA Ops"
+            # spans cover whole async windows (overlapped prefetches) and
+            # sum to ~10x the step — never mix them in.
+            if line.name != "XLA Ops":
                 continue
             for ev in line.events:
-                name = ev_meta[ev.metadata_id].name
-                rows.append((ev.duration_ps / 1e6, name))
-    if not rows:
-        # fall back: take the busiest line of every TPU plane
-        for plane in xspace.planes:
-            if "TPU" not in plane.name:
-                continue
-            ev_meta = plane.event_metadata
-            for line in plane.lines:
-                for ev in line.events:
-                    name = ev_meta[ev.metadata_id].name
-                    rows.append((ev.duration_ps / 1e6, name))
+                em = ev_meta[ev.metadata_id]
+                st = {smeta[s.metadata_id].name: s for s in em.stats}
+                cat = st["hlo_category"].str_value if "hlo_category" in st \
+                    else "?"
+                flops = st["flops"].int64_value if "flops" in st else 0
+                nbytes = st["bytes_accessed"].int64_value \
+                    if "bytes_accessed" in st else 0
+                src = st["source"].str_value if "source" in st else ""
+                tf_op = st["tf_op"].str_value if "tf_op" in st else ""
+                rows.append((ev.duration_ps / 1e9, em.display_name, cat,
+                             flops, nbytes, src, tf_op))
 
-    agg = {}
-    for dur, name in rows:
-        agg[name] = agg.get(name, 0.0) + dur
-    items = sorted(agg.items(), key=lambda kv: -kv[1])
+    def agg_by(key_fn):
+        agg = {}
+        for r in rows:
+            k = key_fn(r)
+            a = agg.setdefault(k, [0.0, 0, 0, 0])  # ms, count, flops, bytes
+            a[0] += r[0]
+            a[1] += 1
+            a[2] += r[3]
+            a[3] += r[4]
+        return sorted(agg.items(), key=lambda kv: -kv[1][0])
 
-    def bucket(name):
-        n = name.lower()
-        if "flash" in n or "attn" in n or "custom-call" in n or "tpu_custom" in n:
-            return "attention/pallas"
-        if "layer_norm" in n or "rms" in n or "norm" in n:
-            return "norm"
-        if "fusion" in n and ("dot" in n or "conv" in n):
-            return "matmul-fusion"
-        if n.startswith(("dot", "convolution", "cublas", "gemm")):
-            return "matmul"
-        if n.startswith(("copy", "transpose", "bitcast", "reshape",
-                         "all-gather", "dynamic-update-slice")):
-            return "copy/layout"
-        if n.startswith(("fusion", "loop_", "input_", "output_")):
-            return "fusion(elementwise?)"
-        return "other"
-
-    buckets = {}
-    for name, dur in items:
-        buckets.setdefault(bucket(name), [0.0, 0])
-        buckets[bucket(name)][0] += dur
-        buckets[bucket(name)][1] += 1
-    total = sum(d for _, d in agg.items())
-    print(f"total device op time: {total/1e3:.2f} ms  ({path})")
-    for bk, (dur, cnt) in sorted(buckets.items(), key=lambda kv: -kv[1][0]):
-        print(f"  {bk:24s} {dur/1e3:8.2f} ms  ({cnt} ops)")
-    print(f"top {top} ops:")
-    for name, dur in items[:top]:
-        print(f"  {dur/1e3:8.3f} ms  {name}")
+    total = sum(r[0] for r in rows)
+    print(f"total device op time: {total:.2f} ms  ({path})")
+    print("-- by hlo_category (achieved TFLOP/s and GB/s per category) --")
+    for cat, (ms, cnt, fl, by) in agg_by(lambda r: r[2]):
+        print(f"  {cat:28s} {ms:8.2f} ms ({cnt:5d} ops)"
+              f"  {fl / ms / 1e9 if ms else 0:7.1f} TF/s"
+              f"  {by / ms / 1e6 if ms else 0:7.0f} GB/s")
+    print(f"-- top {top} ops (aggregated by display name) --")
+    for name, (ms, cnt, fl, by) in agg_by(lambda r: r[1])[:top]:
+        print(f"  {ms:8.3f} ms ({cnt:4d}x) {fl / ms / 1e9 if ms else 0:7.1f} TF/s"
+              f" {by / ms / 1e6 if ms else 0:7.0f} GB/s  {name[:70]}")
+    print("-- top 20 source lines --")
+    for src, (ms, cnt, fl, by) in agg_by(lambda r: r[5])[:20]:
+        print(f"  {ms:8.3f} ms ({cnt:4d}x)  {src[:90]}")
 
 
 def main():

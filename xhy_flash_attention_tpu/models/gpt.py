@@ -232,6 +232,18 @@ class GPTModel(nn.Module):
             if c.remat_policy == "save_attn":
                 policy = jax.checkpoint_policies.save_only_these_names(
                     "attn_out", "attn_lse")
+            elif c.remat_policy == "save_dots":
+                # Save every matmul output AND the attention out/lse (the
+                # pallas call is opaque to dots_saveable) — the backward
+                # recomputes only cheap VPU elementwise (norms, gelu,
+                # residual adds), which overlaps with the bwd matmuls.
+                # ~4/3x cheaper in MXU time than "save_attn" at ~1.7 GB
+                # extra residency for gpt2m b4 s1024.
+                policy = jax.checkpoint_policies.save_from_both_policies(
+                    jax.checkpoint_policies.dots_saveable,
+                    jax.checkpoint_policies.save_only_these_names(
+                        "attn_out", "attn_lse"),
+                )
             else:
                 policy = jax.checkpoint_policies.nothing_saveable
             block_cls = nn.remat(
