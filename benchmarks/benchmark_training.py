@@ -102,7 +102,8 @@ def run(name="gpt2s", remat=False, steps=8, batch=None,
     # utilization including recompute (x4/3 under full remat) is reported
     # alongside for roofline context, never as the headline.
     mfu = toks * fpt / _chip_peak_flops()
-    hw_util = mfu * (4.0 / 3.0 if remat else 1.0)
+    # save_dots recomputes only elementwise ops — no MXU recompute credit
+    hw_util = mfu * (4.0 / 3.0 if remat and remat_policy != "save_dots" else 1.0)
     print(f"{name} remat={remat} b{B}: {toks:,.0f} tokens/s, "
           f"{toks * fpt / 1e12:.1f} TFLOP/s, model-FLOPs MFU {mfu:.1%}"
           + (f" (hw util incl. recompute {hw_util:.1%})" if remat else ""))
@@ -115,7 +116,7 @@ if __name__ == "__main__":
     ap.add_argument("--remat", action="store_true")
     ap.add_argument("--batch", type=int, default=None)
     ap.add_argument("--remat-policy", default="save_attn",
-                    choices=["save_attn", "nothing"])
+                    choices=["save_attn", "save_dots", "nothing"])
     ap.add_argument("--steps", type=int, default=8)
     a = ap.parse_args()
     run(a.model, a.remat, a.steps, a.batch, a.remat_policy)
