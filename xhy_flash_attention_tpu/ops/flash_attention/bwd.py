@@ -62,6 +62,24 @@ from .common import (
 
 MIN_LANES = 128
 
+
+def _stat_col(ref, params):
+    """Unpack an lse/delta block to a (bq, 1) fp32 column.
+
+    Packed mode (bq % 128 == 0): the block is (bq/128, 128) lane-dense.
+    A direct lane-row -> sublane-column reshape is an unsupported Mosaic
+    shape cast; regroup into one (1, bq) lane row (supported), splat to 8
+    sublanes, and transpose (Mosaic lowers aligned 2D transposes) —
+    chip-verified (pack/unpack probe, CHECKS.md). Legacy mode: (bq, 8)
+    lane-replicated; take lane 0."""
+    blk = ref[0, 0]
+    if params.get("stats_packed", False):
+        bq = params["block_q"]
+        row = blk.reshape(1, bq)
+        rep = jnp.broadcast_to(row, (8, bq))
+        return jax.lax.transpose(rep, (1, 0))[:, :1]
+    return blk[:, :1]
+
 # Largest persistent VMEM dq accumulator the merged backward will allocate
 # (g * sq_padded * d * 4 bytes); larger shapes use the fp32 HBM partials
 # workspace instead (and beyond its own 2 GiB cap, the split two-kernel
@@ -353,8 +371,8 @@ def _bwd_dkv_kernel(refs, *, params):
     def body(apply_position_mask):
         q = q_ref[0, 0]
         do = do_ref[0, 0]
-        lse = lse_ref[0, 0][:, :1]
-        delta = delta_ref[0, 0][:, :1]
+        lse = _stat_col(lse_ref, params)
+        delta = _stat_col(delta_ref, params)
         rng_block = None
         if params["dropout_p"] > 0.0:
             rng_block = (
@@ -602,7 +620,7 @@ def _bwd_dq_kernel(refs, *, params):
             )
         _, ds, _, _ = _recompute_p_ds(
             q, k_ref[0, 0], v_ref[0, 0], do_ref[0, 0],
-            lse_ref[0, 0][:, :1], delta_ref[0, 0][:, :1],
+            _stat_col(lse_ref, params), _stat_col(delta_ref, params),
             bias_ref[0, 0] if bias_ref is not None else None,
             qseg_ref[0] if qseg_ref is not None else None,
             kseg_ref[0] if kseg_ref is not None else None,
@@ -776,13 +794,27 @@ def flash_attention_bwd(
         kp = pad_to_block(k, 2, bk)
         vp = pad_to_block(v, 2, bk)
         dop = pad_to_block(do, 2, bq)
-        # lane-replicated x8 stats (Mosaic block rule)
-        lsep = pad_to_block(
-            jnp.broadcast_to(lse[..., None], lse.shape + (8,)), 2, bq
-        )
-        deltap = pad_to_block(
-            jnp.broadcast_to(delta[..., None], delta.shape + (8,)), 2, bq
-        )
+        stats_packed = bq % 128 == 0
+        if stats_packed:
+            # Dense lane-packed stats: (b, h, sqp) viewed as
+            # (b, h, sqp/128, 128) — a free bitcast. The old x8 lane
+            # replication padded 8 -> 128 lanes physically (16x bytes) and
+            # cost ~4 ms/step in XLA broadcasts at GPT-2 training shapes;
+            # the kernel unpacks the (bq/128, 128) block to a (bq, 1)
+            # column in VMEM instead.
+            lsep = pad_to_block(lse, 2, bq).reshape(b, h, -1, 128)
+            deltap = pad_to_block(delta, 2, bq).reshape(b, h, -1, 128)
+            stat_block = (1, 1, bq // 128, 128)
+        else:
+            # lane-replicated x8 stats (Mosaic block rule) — tiny-block
+            # fallback for sub-128 test shapes
+            lsep = pad_to_block(
+                jnp.broadcast_to(lse[..., None], lse.shape + (8,)), 2, bq
+            )
+            deltap = pad_to_block(
+                jnp.broadcast_to(delta[..., None], delta.shape + (8,)), 2, bq
+            )
+            stat_block = (1, 1, bq, 8)
         # *a-style index maps: a = (b_, h_, i, j, *scalar_refs) for the
         # rectangular grids, (b_, h_, t, *scalar_refs) for the flat causal
         # grid — the provided kv_index/q_index/qh_map match the grid arity
@@ -794,8 +826,8 @@ def flash_attention_bwd(
             pl.BlockSpec((1, 1, bk, d), kv_spec),
             pl.BlockSpec((1, 1, bk, d), kv_spec),
             pl.BlockSpec((1, 1, bq, d), q_spec),
-            pl.BlockSpec((1, 1, bq, 8), q_spec),
-            pl.BlockSpec((1, 1, bq, 8), q_spec),
+            pl.BlockSpec(stat_block, q_spec),
+            pl.BlockSpec(stat_block, q_spec),
         ]
         if has_bias:
             bp = pad_to_block(pad_to_block(bias, 3, bk), 2, bq)
@@ -1122,6 +1154,7 @@ def flash_attention_bwd(
         has_eff=use_eff,
         pos_window=pos_window,
         flat_iter=flat_causal,
+        stats_packed=bq1 % 128 == 0,
     )
     if flat_causal:
         dkv_map = lambda b_, h_, t, *r: (b_, h_, r[-2][t], 0)
@@ -1285,6 +1318,7 @@ def flash_attention_bwd(
     params2 = dict(params1)
     params2.update(
         block_q=bq2, block_k=bk2, num_q_blocks=nq2, num_kv_blocks=nkv2,
+        stats_packed=bq2 % 128 == 0,
     )
     dq = pl.pallas_call(
         functools.partial(_bwd_dq_entry, params=params2),

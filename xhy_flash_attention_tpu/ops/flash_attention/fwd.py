@@ -98,6 +98,7 @@ def _fwd_kernel(
     diag_mask_tile: bool = False,
     zero_seed: bool = False,
     flat_iter: bool = False,
+    stats_packed: bool = False,
 ):
     it = iter(refs)
     if dropout_p > 0.0:
@@ -444,12 +445,28 @@ def _fwd_kernel(
         l_inv = jnp.where(l == 0.0, 0.0, 1.0 / l)
         o_ref[0, 0] = (acc_scr[...] * l_inv).astype(o_ref.dtype)
         if lse_ref is not None:
-            # lane-replicated x8 (Mosaic block rule: last dim == array dim)
-            m8 = m_scr[:, :8]
-            l8 = l_scr[:, :8]
-            lse_ref[0, 0] = jnp.where(
-                l8 == 0.0, jnp.inf, m8 + jnp.log(jnp.maximum(l8, 1e-37))
-            )
+            if stats_packed:
+                # Dense lane-packed (bq/128, 128) lse block. A direct
+                # sublane-column -> lane-row reshape is an unsupported
+                # Mosaic shape cast; instead transpose the lane-replicated
+                # (bq, 128) stat (Mosaic lowers aligned 2D transposes) and
+                # regroup its first row into (bq/128, 128) — lane-count-
+                # preserving reshapes ARE supported. Chip-verified
+                # (pack/unpack probe, CHECKS.md). Runs once per q row.
+                stat = jnp.where(
+                    l_scr[...] == 0.0, jnp.inf,
+                    m_scr[...] + jnp.log(jnp.maximum(l_scr[...], 1e-37)),
+                )
+                row = jax.lax.transpose(stat, (1, 0))[:1]  # (1, bq)
+                lse_ref[0, 0] = row.reshape(block_q // 128, 128)
+            else:
+                # lane-replicated x8 (Mosaic block rule: last dim == array
+                # dim) — sub-128-block fallback
+                m8 = m_scr[:, :8]
+                l8 = l_scr[:, :8]
+                lse_ref[0, 0] = jnp.where(
+                    l8 == 0.0, jnp.inf, m8 + jnp.log(jnp.maximum(l8, 1e-37))
+                )
 
 
 def flash_attention_fwd(
@@ -791,10 +808,22 @@ def flash_attention_fwd(
         o_map = q_map
         lse_map = lambda b_, h_, iq, ikv, *_: (b_, h_, iq, 0)
     out_specs = [pl.BlockSpec(qblk_shape, o_map)]
+    stats_packed = bq % 128 == 0
     if need_lse:
-        # lane-replicated x8 (see kernel _finish); always (b, h, sq) layout
-        out_shape.append(jax.ShapeDtypeStruct((b, h, sqp, 8), jnp.float32))
-        out_specs.append(pl.BlockSpec((1, 1, bq, 8), lse_map))
+        if stats_packed:
+            # Dense lane-packed lse: (b, h, sqp) stored as
+            # (b, h, sqp/128, 128). The legacy x8-replicated layout padded
+            # 8 -> 128 lanes physically (16x HBM bytes on the lse write
+            # AND on every downstream read/broadcast).
+            out_shape.append(
+                jax.ShapeDtypeStruct((b, h, sqp // 128, 128), jnp.float32))
+            out_specs.append(pl.BlockSpec((1, 1, bq // 128, 128), lse_map))
+        else:
+            # lane-replicated x8 (see kernel _finish) — sub-128-block
+            # fallback for tiny test shapes
+            out_shape.append(
+                jax.ShapeDtypeStruct((b, h, sqp, 8), jnp.float32))
+            out_specs.append(pl.BlockSpec((1, 1, bq, 8), lse_map))
 
     kernel = functools.partial(
         _fwd_kernel_entry,
@@ -813,6 +842,7 @@ def flash_attention_fwd(
         block_k=bk,
         num_kv_blocks=nkv,
         need_lse=need_lse,
+        stats_packed=stats_packed,
         fm_mode=flashmask_mode if has_flashmask else None,
         fm_heads=fm_heads if has_flashmask else 1,
         has_blockmask=has_blockmask,
@@ -885,6 +915,8 @@ def flash_attention_fwd(
     osl = lambda o: o[:, :, :sq]
     if need_lse:
         out, lse = results
+        if stats_packed:
+            return osl(out), lse.reshape(b, h, sqp)[:, :, :sq]
         return osl(out), lse[:, :, :sq, 0]
     return osl(results[0]), None
 
