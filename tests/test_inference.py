@@ -270,7 +270,10 @@ def test_engine_chunked_prefill_admission():
         mlp_fc1_bias=False, mlp_fc2_bias=False, dtype=jnp.float32,
     )
     model = GPTLMHeadModel(cfg)
-    rng = np.random.default_rng(3)
+    # seed 4: both greedy trajectories keep top-2 margins >= 0.02, an
+    # order of magnitude above chunked-vs-whole-prefill fp32 reduction
+    # noise (seed 3's 0.0033 min margin made this test load-sensitive)
+    rng = np.random.default_rng(4)
     params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 8), jnp.int32))
     hk = cfg.num_attention_heads_kv
     d = cfg.hidden_size // cfg.num_attention_heads
