@@ -134,6 +134,10 @@ def _ce_bwd(label_smoothing, ignore_index, lse_square_scale, axis_name,
     else:
         dlogits = p * (1.0 + 2.0 * lse_square_scale * lse[:, None]) - onehot
     dlogits = dlogits * grad_scale[:, None]
+    # NOTE: a materializing optimization_barrier here was measured NET
+    # SLOWER (gpt2m step 92.20 vs 91.62 ms): XLA's choice to re-fuse this
+    # chain (exp included) into both lm-head backward matmuls re-reads the
+    # logits ~3x, but materializing dlogits costs more than it saves.
     return dlogits.astype(dtype), None, None
 
 

@@ -22,10 +22,45 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+import functools
+
 from ..layers.rotary import RotaryEmbedding
 from ..ops.flash_attention import flash_attention
 from ..ops.decode import decode_attention
 from .linear import RowParallelDense, gather_sp_input
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
+def _split_qkv(qkv, h: int, hk: int, d: int):
+    """Slice the packed (b, s, (h+2hk)*d) projection into q/k/v heads.
+
+    The custom backward concatenates dq/dk/dv into ONE materialized dqkv
+    (optimization_barrier): without it XLA fuses the concat — and the
+    attention kernel's layout transposes behind it — into the operand
+    reads of BOTH Wqkv backward matmuls, which then run at ~109 TF/s vs
+    ~190 clean (measured on the gpt2m training step,
+    benchmarks/profile_training.py)."""
+    b, s, _ = qkv.shape
+    q = qkv[..., : h * d].reshape(b, s, h, d)
+    k = qkv[..., h * d : (h + hk) * d].reshape(b, s, hk, d)
+    v = qkv[..., (h + hk) * d :].reshape(b, s, hk, d)
+    return q, k, v
+
+
+def _split_qkv_fwd(qkv, h, hk, d):
+    return _split_qkv(qkv, h, hk, d), qkv.shape
+
+
+def _split_qkv_bwd(h, hk, d, shape, grads):
+    dq, dk, dv = grads
+    b, s, _ = shape
+    dqkv = jnp.concatenate(
+        [dq.reshape(b, s, h * d), dk.reshape(b, s, hk * d),
+         dv.reshape(b, s, hk * d)], axis=-1)
+    return (jax.lax.optimization_barrier(dqkv),)
+
+
+_split_qkv.defvjp(_split_qkv_fwd, _split_qkv_bwd)
 
 
 class MHA(nn.Module):
@@ -134,9 +169,7 @@ class MHA(nn.Module):
                 qkv = self.dwconv_qkv(
                     jnp.pad(qkv, ((0, 0), (2, 0), (0, 0)))
                 )  # causal k=3 depthwise (left pad ≙ reference [..., :-2])
-            q = qkv[..., : h * d].reshape(b, sq, h, d)
-            k = qkv[..., h * d : (h + hk) * d].reshape(b, sq, hk, d)
-            v = qkv[..., (h + hk) * d :].reshape(b, sq, hk, d)
+            q, k, v = _split_qkv(qkv, h, hk, d)
         else:
             q = self.Wq(x).reshape(b, sq, h, d)
             kv_in = x_kv if x_kv is not None else x
