@@ -47,7 +47,7 @@ def _chunked_kernel(q_ref, k_ref, v_ref, o_ref, *, nc):
     # then PVs — explicit interleaving freedom for the scheduler
     ss = [
         jax.lax.dot_general(
-            q, k_ref[0, :, i * cs:(i + 1) * cs],
+            q, k_ref[0, i * cs:(i + 1) * cs],
             (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
         for i in range(nc)
     ]
@@ -57,7 +57,7 @@ def _chunked_kernel(q_ref, k_ref, v_ref, o_ref, *, nc):
         [jnp.sum(p, axis=-1, keepdims=True) for p in ps])
     pvs = [
         jax.lax.dot_general(
-            p.astype(v_ref.dtype), v_ref[0, i * cs:(i + 1) * cs],
+            p.astype(v_ref.dtype), v_ref[0, i * cs:(i + 1) * cs, :],
             (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
         for i, p in enumerate(ps)
     ]
@@ -77,7 +77,8 @@ def run(kernel, name):
         out_specs=pl.BlockSpec((1, S, D), lambda i: (i, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((BH, S, D), jnp.bfloat16),
     )
-    t = benchmark_chained(lambda c: (f(*c), c[1], c[2]), (q, k, v))
+    # ~175 us/iter: n=600 puts >=100 ms on the chip per chain (CLAUDE.md)
+    t = benchmark_chained(lambda c: (f(*c), c[1], c[2]), (q, k, v), n=600)
     flops = 4 * S * S * D * BH  # non-causal accounting (full rectangle)
     print(f"{name:24s} {t * 1e6:8.1f} us   {flops / t / 1e12:6.1f} TFLOP/s",
           flush=True)

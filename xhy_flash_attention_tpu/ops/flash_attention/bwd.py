@@ -96,6 +96,11 @@ MERGED_DQ_WORKSPACE_CAP = 2 * 1024**3
 # rectangular grid (A/B lever).
 FLAT_CAUSAL = os.environ.get("XFA_FLAT_CAUSAL", "1") == "1"
 
+# Single-shot direct-write mode at single-(q,kv,group)-step shapes (see
+# _bwd_dkv_kernel). XFA_SINGLE_SHOT=0 restores the scratch path (A/B
+# lever, shared with fwd.py).
+SINGLE_SHOT = os.environ.get("XFA_SINGLE_SHOT", "1") == "1"
+
 
 def _recompute_p_ds(
     q, k, v, do, lse, delta, bias, qseg, kseg,
@@ -260,14 +265,21 @@ def _bwd_dkv_kernel(refs, *, params):
     num_heads = params.get("num_heads", pl.num_programs(1))
     dbias_group_acc = params.get("dbias_group_acc", False)
 
-    # first visited j of kv sweep ikv: 0 on the rectangular grid; the
-    # sweep's first table entry (the diagonal q-block) on the flat grid
-    @pl.when(sweep_first if flat_iter else j_inner == 0)
-    def _init():
-        dk_scr[...] = jnp.zeros_like(dk_scr)
-        dv_scr[...] = jnp.zeros_like(dv_scr)
+    # Single-shot mode (one (q, kv, group) step per (b, h): s <= 1024 at
+    # default tiles, MHA): the body writes dK/dV/dQ straight to the output
+    # refs — no scratch zero/accumulate/emit steps (mirror of the fwd
+    # kernel's single_shot; measured +26% fwd at the gpt2 shape).
+    single_shot = params.get("single_shot", False)
 
-    if dq_scr is not None:
+    if not single_shot:
+        # first visited j of kv sweep ikv: 0 on the rectangular grid; the
+        # sweep's first table entry (the diagonal q-block) on the flat grid
+        @pl.when(sweep_first if flat_iter else j_inner == 0)
+        def _init():
+            dk_scr[...] = jnp.zeros_like(dk_scr)
+            dv_scr[...] = jnp.zeros_like(dv_scr)
+
+    if dq_scr is not None and not single_shot:
         # each (group member, q-block) cell owns its dq slice; zero it at
         # its row's FIRST visited sweep — ikv == 0 on the rectangular grid
         # (which visits every pair), the window's left-edge block on the
@@ -402,15 +414,21 @@ def _bwd_dkv_kernel(refs, *, params):
                 dbias_ref[0, 0] = ds_raw
         dtype = q.dtype
         # dV += P_dropped^T @ dO   (contract over q rows)
-        dv_scr[...] += jax.lax.dot_general(
+        dv_t = jax.lax.dot_general(
             p_dropped.astype(dtype), do,
             (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
         )
         # dK += dS^T @ (sm_scale·Q) — the scale already lives in q_scaled
-        dk_scr[...] += jax.lax.dot_general(
+        dk_t = jax.lax.dot_general(
             ds.astype(dtype), q_scaled,
             (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
         )
+        if single_shot:
+            dv_ref[0, 0] = dv_t
+            dk_ref[0, 0] = dk_t
+        else:
+            dv_scr[...] += dv_t
+            dk_scr[...] += dk_t
         if with_dq:
             # dQ partial for this (kv-block, q-block, head); sm_scale is
             # applied once after the reduction
@@ -419,7 +437,9 @@ def _bwd_dkv_kernel(refs, *, params):
                 (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-            if dq_in_scratch:
+            if single_shot:
+                dq_ref[0, 0] = dq_partial
+            elif dq_in_scratch:
                 dq_scr[j_inner] += dq_partial
             else:
                 dq_ref[0, 0, 0] = dq_partial
@@ -465,7 +485,7 @@ def _bwd_dkv_kernel(refs, *, params):
         def _zero_dq():
             dq_ref[0, 0, 0] = jnp.zeros_like(dq_ref[0, 0, 0])
 
-    if with_dq and dq_in_scratch:
+    if with_dq and dq_in_scratch and not single_shot:
         # Rectangular grid: every q-block's dq is complete only at the
         # final kv sweep, so emission (and the out spec's index change)
         # happens there; earlier sweeps keep the out index frozen so no
@@ -480,10 +500,11 @@ def _bwd_dkv_kernel(refs, *, params):
         def _emit_dq():
             dq_ref[0, 0] = dq_scr[j_inner]
 
-    @pl.when(sweep_last if flat_iter else j_inner == g * nq - 1)
-    def _finish():
-        dk_ref[0, 0] = dk_scr[...]
-        dv_ref[0, 0] = dv_scr[...]
+    if not single_shot:
+        @pl.when(sweep_last if flat_iter else j_inner == g * nq - 1)
+        def _finish():
+            dk_ref[0, 0] = dk_scr[...]
+            dv_ref[0, 0] = dv_scr[...]
 
 
 def _bwd_dq_kernel(refs, *, params):
@@ -1155,6 +1176,17 @@ def flash_attention_bwd(
         pos_window=pos_window,
         flat_iter=flat_causal,
         stats_packed=bq1 % 128 == 0,
+        # one (q, kv, group) step per (b, h) and no block-skip feature:
+        # dK/dV/dQ each complete in the single body — write them directly
+        # (XFA_SINGLE_SHOT=0 lever shared with the fwd kernel)
+        single_shot=(
+            SINGLE_SHOT
+            and nkv1 == 1 and g * nq1 == 1 and not has_bias
+            and not has_segments and not has_flashmask
+            and not has_blockmask and not has_positions and not has_left
+            and (not has_right or offset >= 0)
+            and with_dq and dq_in_scratch
+        ),
     )
     if flat_causal:
         dkv_map = lambda b_, h_, t, *r: (b_, h_, r[-2][t], 0)

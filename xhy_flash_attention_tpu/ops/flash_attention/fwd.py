@@ -66,6 +66,11 @@ ZERO_SEED = os.environ.get("XFA_ZERO_SEED", "1") == "1"
 # grid (A/B lever).
 FLAT_CAUSAL = os.environ.get("XFA_FLAT_CAUSAL", "1") == "1"
 
+# Single-KV-block direct path (no online-softmax state; see
+# _fwd_kernel.body). XFA_SINGLE_SHOT=0 restores the deferred path at
+# nkv == 1 (A/B lever).
+SINGLE_SHOT = os.environ.get("XFA_SINGLE_SHOT", "1") == "1"
+
 
 def _fwd_kernel(
     refs,
@@ -99,6 +104,7 @@ def _fwd_kernel(
     zero_seed: bool = False,
     flat_iter: bool = False,
     stats_packed: bool = False,
+    single_shot: bool = False,
 ):
     it = iter(refs)
     if dropout_p > 0.0:
@@ -159,24 +165,27 @@ def _fwd_kernel(
         row_first = ikv == 0
         row_last = ikv == num_kv_blocks - 1
 
-    @pl.when(row_first)
-    def _init():
-        if deferred and zero_seed:
-            # Zero-seeded deferred shift: EVERY block (including ikv == 0)
-            # runs the pipelined deferred path — no serialized seed pass.
-            # Starting the shift at 0 is safe: exp(min(s - 0, 70)) bounds
-            # the unnormalized weights by e^70 (psum/acc stay far inside
-            # fp32), the shift cancels exactly in _finish (lse = m +
-            # log(l) is shift-invariant), and for scores under the clamp
-            # the math is exact to fp32 rounding. For causal this removes
-            # the serialized path from the ~40% of useful blocks that are
-            # a row's first (vs 25% non-causal) — the main cost of the
-            # seeded variant.
-            m_scr[...] = jnp.zeros_like(m_scr)
-        else:
-            m_scr[...] = jnp.full_like(m_scr, NEG_INF)
-        l_scr[...] = jnp.zeros_like(l_scr)
-        acc_scr[...] = jnp.zeros_like(acc_scr)
+    # single_shot bypasses the scratch state entirely (body writes o/lse
+    # directly); _init/_finish are not traced at all then
+    if not single_shot:
+        @pl.when(row_first)
+        def _init():
+            if deferred and zero_seed:
+                # Zero-seeded deferred shift: EVERY block (including ikv == 0)
+                # runs the pipelined deferred path — no serialized seed pass.
+                # Starting the shift at 0 is safe: exp(min(s - 0, 70)) bounds
+                # the unnormalized weights by e^70 (psum/acc stay far inside
+                # fp32), the shift cancels exactly in _finish (lse = m +
+                # log(l) is shift-invariant), and for scores under the clamp
+                # the math is exact to fp32 rounding. For causal this removes
+                # the serialized path from the ~40% of useful blocks that are
+                # a row's first (vs 25% non-causal) — the main cost of the
+                # seeded variant.
+                m_scr[...] = jnp.zeros_like(m_scr)
+            else:
+                m_scr[...] = jnp.full_like(m_scr, NEG_INF)
+            l_scr[...] = jnp.zeros_like(l_scr)
+            acc_scr[...] = jnp.zeros_like(acc_scr)
 
     q_start = iq * block_q
     c_start = ikv * block_k
@@ -343,6 +352,38 @@ def _fwd_kernel(
             s = jnp.where(qseg == kseg, s, NEG_INF)
 
         v = v_ref[0, 0]
+        if single_shot:
+            # Single-KV-block direct path (the s<=1024 training shapes at
+            # 1024^2 tiles): the row's ONLY block computes the complete
+            # softmax in one pass and writes o/lse straight out — no
+            # running max (zero-shift exp, same min(s, 70) bound and
+            # semantics as the zero-seeded deferred path), no m/l/acc
+            # scratch round-trips, no _init/_finish steps. Measured
+            # against a toy bound (benchmarks/ab_mxu_vpu_overlap.py): the
+            # deferred machinery cost ~0.4 us of the 3.9 us step at the
+            # gpt2 shape (b4 h16 s1024 d64).
+            pt = jnp.exp(jnp.minimum(s, 70.0))
+            psum = jnp.sum(pt, axis=-1, keepdims=True)
+            pt = _apply_dropout(pt)
+            pv = jax.lax.dot_general(
+                pt.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            l_inv = jnp.where(psum == 0.0, 0.0, 1.0 / psum)
+            o_ref[0, 0] = (pv * l_inv).astype(o_ref.dtype)
+            if lse_ref is not None:
+                stat1 = jnp.where(
+                    psum == 0.0, jnp.inf,
+                    jnp.log(jnp.maximum(psum, 1e-37)),
+                )  # (bq, 1), shift 0
+                if stats_packed:
+                    # same lane-pack as _finish: splat, transpose, regroup
+                    stat = jnp.broadcast_to(stat1, (block_q, MIN_LANES))
+                    row = jax.lax.transpose(stat, (1, 0))[:1]
+                    lse_ref[0, 0] = row.reshape(block_q // 128, 128)
+                else:
+                    lse_ref[0, 0] = jnp.broadcast_to(stat1, (block_q, 8))
+            return
         if defer:
             # Deferred-shift online softmax: the serialized chain
             # QK-matmul -> full max reduce -> exp was the kernel's critical
@@ -439,34 +480,35 @@ def _fwd_kernel(
     else:
         dispatch(should_run, False)
 
-    @pl.when(row_last)
-    def _finish():
-        l = l_scr[:, :1]
-        l_inv = jnp.where(l == 0.0, 0.0, 1.0 / l)
-        o_ref[0, 0] = (acc_scr[...] * l_inv).astype(o_ref.dtype)
-        if lse_ref is not None:
-            if stats_packed:
-                # Dense lane-packed (bq/128, 128) lse block. A direct
-                # sublane-column -> lane-row reshape is an unsupported
-                # Mosaic shape cast; instead transpose the lane-replicated
-                # (bq, 128) stat (Mosaic lowers aligned 2D transposes) and
-                # regroup its first row into (bq/128, 128) — lane-count-
-                # preserving reshapes ARE supported. Chip-verified
-                # (pack/unpack probe, CHECKS.md). Runs once per q row.
-                stat = jnp.where(
-                    l_scr[...] == 0.0, jnp.inf,
-                    m_scr[...] + jnp.log(jnp.maximum(l_scr[...], 1e-37)),
-                )
-                row = jax.lax.transpose(stat, (1, 0))[:1]  # (1, bq)
-                lse_ref[0, 0] = row.reshape(block_q // 128, 128)
-            else:
-                # lane-replicated x8 (Mosaic block rule: last dim == array
-                # dim) — sub-128-block fallback
-                m8 = m_scr[:, :8]
-                l8 = l_scr[:, :8]
-                lse_ref[0, 0] = jnp.where(
-                    l8 == 0.0, jnp.inf, m8 + jnp.log(jnp.maximum(l8, 1e-37))
-                )
+    if not single_shot:
+        @pl.when(row_last)
+        def _finish():
+            l = l_scr[:, :1]
+            l_inv = jnp.where(l == 0.0, 0.0, 1.0 / l)
+            o_ref[0, 0] = (acc_scr[...] * l_inv).astype(o_ref.dtype)
+            if lse_ref is not None:
+                if stats_packed:
+                    # Dense lane-packed (bq/128, 128) lse block. A direct
+                    # sublane-column -> lane-row reshape is an unsupported
+                    # Mosaic shape cast; instead transpose the lane-replicated
+                    # (bq, 128) stat (Mosaic lowers aligned 2D transposes) and
+                    # regroup its first row into (bq/128, 128) — lane-count-
+                    # preserving reshapes ARE supported. Chip-verified
+                    # (pack/unpack probe, CHECKS.md). Runs once per q row.
+                    stat = jnp.where(
+                        l_scr[...] == 0.0, jnp.inf,
+                        m_scr[...] + jnp.log(jnp.maximum(l_scr[...], 1e-37)),
+                    )
+                    row = jax.lax.transpose(stat, (1, 0))[:1]  # (1, bq)
+                    lse_ref[0, 0] = row.reshape(block_q // 128, 128)
+                else:
+                    # lane-replicated x8 (Mosaic block rule: last dim == array
+                    # dim) — sub-128-block fallback
+                    m8 = m_scr[:, :8]
+                    l8 = l_scr[:, :8]
+                    lse_ref[0, 0] = jnp.where(
+                        l8 == 0.0, jnp.inf, m8 + jnp.log(jnp.maximum(l8, 1e-37))
+                    )
 
 
 def flash_attention_fwd(
@@ -871,6 +913,16 @@ def flash_attention_fwd(
         # test's shapes) while lse stays bit-comparable — keep the exact
         # seeded path when a bias is trained through the kernel
         zero_seed=ZERO_SEED and not has_bias,
+        # nkv == 1 (s <= 1024 at default tiles): every row's ONLY block
+        # computes the complete softmax — the online state machinery is
+        # pure overhead there (~0.4 us of a 3.9 us step at the gpt2
+        # training shape). Same gates as the zero-seeded deferred path.
+        single_shot=(
+            nkv == 1 and SINGLE_SHOT and ZERO_SEED and not has_bias
+            and not has_flashmask and not has_blockmask
+            and not has_positions and not has_segments and not has_left
+            and (not has_right or offset >= 0)
+        ),
     )
 
     grid = (b, h, len(pairs)) if flat_causal else (b, h, nq, nkv)
