@@ -169,6 +169,32 @@ class MHA(nn.Module):
                 qkv = self.dwconv_qkv(
                     jnp.pad(qkv, ((0, 0), (2, 0), (0, 0)))
                 )  # causal k=3 depthwise (left pad ≙ reference [..., :-2])
+            if (kv_cache is None and self.rotary_emb_dim == 0
+                    and self.context_parallel_axis is None
+                    and q_segment_ids is None and kv_segment_ids is None
+                    and h == hk):
+                from ..ops.flash_attention.fused_heads import (
+                    packed_heads_supported, packed_qkv_attention,
+                )
+                if packed_heads_supported(
+                        (b, sq, h, d), (b, sq, hk, d), causal=self.causal,
+                        window_size=self.window_size, softcap=self.softcap):
+                    # training hot path: attention DIRECTLY on the packed
+                    # projection output — no q/k/v slice copies, no layout
+                    # transposes, and the backward emits one packed dqkv
+                    # the Wqkv backward consumes as-is (fused_heads.py)
+                    dropout_p = 0.0 if deterministic else self.dropout
+                    if dropout_p > 0.0 and dropout_seed is None:
+                        dropout_seed = jax.random.randint(
+                            self.make_rng("dropout"), (), 0, 2**31 - 1
+                        )
+                    out = packed_qkv_attention(
+                        qkv, num_heads=h, num_heads_kv=hk, head_dim=d,
+                        softmax_scale=self.softmax_scale,
+                        causal=self.causal, softcap=self.softcap,
+                        dropout_p=dropout_p, dropout_seed=dropout_seed,
+                    )
+                    return self.out_proj(out), None
             q, k, v = _split_qkv(qkv, h, hk, d)
         else:
             q = self.Wq(x).reshape(b, sq, h, d)
@@ -309,6 +335,22 @@ class MHA(nn.Module):
 
     def _attend(self, q, k, v, dropout_p, dropout_seed, q_seg, kv_seg):
         b, sq, h, d = q.shape
+        if self.context_parallel_axis is None:
+            from ..ops.flash_attention.fused_heads import (
+                packed_heads_attention, packed_heads_supported,
+            )
+            if (q_seg is None and kv_seg is None
+                    and packed_heads_supported(
+                        q.shape, k.shape, causal=self.causal,
+                        window_size=self.window_size,
+                        softcap=self.softcap)):
+                # training hot path: packed projection-layout kernel — no
+                # (b,s,h,d)<->(b,h,s,d) transposes in fwd or bwd
+                return packed_heads_attention(
+                    q, k, v, softmax_scale=self.softmax_scale,
+                    causal=self.causal, softcap=self.softcap,
+                    dropout_p=dropout_p, dropout_seed=dropout_seed,
+                )
         qt = jnp.swapaxes(q, 1, 2)
         kt = jnp.swapaxes(k, 1, 2)
         vt = jnp.swapaxes(v, 1, 2)
