@@ -66,7 +66,8 @@ def test_pipeline_apply_matches_sequential(pp, microbatches):
         np.testing.assert_allclose(g_flat[i], gr[i], atol=1e-5)
 
 
-def test_gpt_pipeline_loss_and_grads_match():
+@pytest.mark.parametrize("tied", [False, True])
+def test_gpt_pipeline_loss_and_grads_match(tied):
     """GPTPipeline loss + grads == the sequential GPTLMHeadModel."""
     import optax
 
@@ -79,7 +80,7 @@ def test_gpt_pipeline_loss_and_grads_match():
     cfg = GPTConfig(
         vocab_size=256, hidden_size=64, num_hidden_layers=4,
         num_attention_heads=2, max_position_embeddings=64,
-        pad_vocab_size_multiple=128, tie_word_embeddings=False,
+        pad_vocab_size_multiple=128, tie_word_embeddings=tied,
         dtype=jnp.float32,
     )
     model = GPTLMHeadModel(cfg)

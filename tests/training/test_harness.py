@@ -242,3 +242,51 @@ def test_config_ladder_loads():
         assert cfg.model["max_position_embeddings"] in (0, cfg.data.seqlen), f
         dp, tp = cfg.mesh
         assert mc.num_attention_heads % tp == 0, f
+
+
+def test_train_pipeline_matches_single_device(token_file, tmp_path):
+    """dp×pp pipeline training lands on the single-device params (fp32
+    reorder tolerance): same blocks, same microbatch math, GPipe schedule."""
+    cfg0 = _tiny_cfg(token_file, str(tmp_path / "seq"), max_steps=3)
+    cfg0.model["num_hidden_layers"] = 4
+    t0 = Trainer(cfg0)
+    t0.init_params()
+    loss0 = t0.fit(max_steps=3, log=lambda *_: None)
+
+    cfgp = _tiny_cfg(token_file, str(tmp_path / "pp"), max_steps=3)
+    cfgp.model["num_hidden_layers"] = 4
+    cfgp = TrainConfig(**{**cfgp.__dict__, "mesh": (2, 1),
+                          "pipeline_parallel": 4,
+                          "pipeline_microbatches": 2})
+    tp_ = Trainer(cfgp)
+    tp_.init_params()
+    # same init as the single-device run (init_params uses the same seed)
+    lossp = tp_.fit(max_steps=3, log=lambda *_: None)
+    assert np.isfinite(lossp)
+    assert np.isclose(loss0, lossp, atol=1e-4), (loss0, lossp)
+
+    # stage grads live sharded over pp; canonical view must match
+    merged = jax.device_get(tp_._canonical_params())
+    ref = jax.device_get(t0.params)
+    for (pa, a), (pb, b) in zip(
+        jax.tree_util.tree_flatten_with_path(ref)[0],
+        jax.tree_util.tree_flatten_with_path(merged)[0],
+    ):
+        assert pa == pb
+        np.testing.assert_allclose(
+            a, b, atol=2e-5, rtol=1e-5,
+            err_msg=jax.tree_util.keystr(pa),
+        )
+
+    # checkpoints store the canonical tree: resume round-trips
+    tp_.save_checkpoint()
+    cfgr = _tiny_cfg(token_file, str(tmp_path / "pp"), max_steps=3)
+    cfgr.model["num_hidden_layers"] = 4
+    cfgr = TrainConfig(**{**cfgr.__dict__, "mesh": (2, 1),
+                          "pipeline_parallel": 4,
+                          "pipeline_microbatches": 2})
+    tr = Trainer(cfgr)
+    assert tr.maybe_resume()
+    for a, b in zip(jax.tree.leaves(jax.device_get(tr.params)),
+                    jax.tree.leaves(merged)):
+        np.testing.assert_array_equal(a, b)

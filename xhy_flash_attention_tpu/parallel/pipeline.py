@@ -177,9 +177,9 @@ class GPTPipeline:
             raise ValueError("layers must divide evenly into stages")
         if config.embd_pdrop or config.resid_pdrop or config.attn_pdrop:
             raise ValueError("pipeline v1 runs deterministic (dropout=0)")
-        if config.tie_word_embeddings:
-            raise ValueError("untie embeddings for pipeline (grads for the "
-                             "shared table would need a cross-stage psum)")
+        if config.word_embed_proj_dim is not None:
+            raise ValueError("factorized (OPT-350m style) embeddings are "
+                             "not supported in the pipeline path")
         self.config = config
         self.pp = pp
         self.num_microbatches = num_microbatches
@@ -273,14 +273,26 @@ class GPTPipeline:
 
         c = self.config
         rp = rest["params"]
-        emb = GPT2Embeddings(
-            embed_dim=c.hidden_size,
-            vocab_size=c.padded_vocab_size,
-            max_position_embeddings=c.max_position_embeddings,
-            word_embed_proj_dim=c.word_embed_proj_dim,
-            dtype=c.dtype,
-        )
-        x = emb.apply({"params": rp["transformer"]["embeddings"]}, ids)
+        wte = None
+        if c.tie_word_embeddings:
+            # tied table (≙ reference tie_weights): manual lookup/attend —
+            # the shared nn.Embed's scope lives outside the trunk. Grads
+            # reach it from rank 0 (lookup) and the last rank (attend);
+            # reduce_rest_grads' psum sums them.
+            wte = rp["wte"]["embedding"].astype(c.dtype)
+            x = jnp.take(wte, ids, axis=0)
+            if c.max_position_embeddings > 0:
+                pos = rp["transformer"]["embeddings"][
+                    "position_embeddings"]["embedding"].astype(c.dtype)
+                x = x + pos[: ids.shape[1]][None]
+        else:
+            emb = GPT2Embeddings(
+                embed_dim=c.hidden_size,
+                vocab_size=c.padded_vocab_size,
+                max_position_embeddings=c.max_position_embeddings,
+                dtype=c.dtype,
+            )
+            x = emb.apply({"params": rp["transformer"]["embeddings"]}, ids)
         res0 = jnp.zeros(
             x.shape, jnp.float32 if c.residual_in_fp32 else x.dtype
         )
@@ -302,11 +314,14 @@ class GPTPipeline:
                 {"params": rp["transformer"]["norm_f"]}, hidden, residual,
                 0.0, False, c.residual_in_fp32,
             )
-        import flax.linen as nn
+        if c.tie_word_embeddings:
+            logits = hidden.astype(c.dtype) @ wte.T  # ≙ nn.Embed.attend
+        else:
+            import flax.linen as nn
 
-        head = nn.Dense(c.padded_vocab_size, use_bias=c.lm_head_bias,
-                        dtype=c.dtype)
-        logits = head.apply({"params": rp["lm_head"]}, hidden)
+            head = nn.Dense(c.padded_vocab_size, use_bias=c.lm_head_bias,
+                            dtype=c.dtype)
+            logits = head.apply({"params": rp["lm_head"]}, hidden)
         losses = cross_entropy_loss(
             logits.reshape(-1, logits.shape[-1]), labels.reshape(-1)
         )

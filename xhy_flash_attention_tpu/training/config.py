@@ -69,6 +69,12 @@ class TrainConfig:
     # 1 = dp-sharded Adam moments; 2 = additionally reduce-scatter grads
     # onto the moment shards instead of all-reducing them
     zero_stage: int = 1
+    # pipeline parallelism (parallel/pipeline.py GPipe ring): stages over a
+    # 'pp' mesh axis orthogonal to dp; composes as (dp, pp), tp must be 1
+    pipeline_parallel: int = 1
+    # microbatches per step (0 = 4*pp, a <=20% bubble); must divide the
+    # per-dp-rank batch
+    pipeline_microbatches: int = 0
 
 
 _RESOLVERS = {
@@ -154,7 +160,9 @@ def load_config(path: str | Path, overrides: Optional[Dict[str, Any]] = None
         data=DataConfig(**tree.get("data", {})),
         **{k: v for k, v in tree.items()
            if k in {"max_steps", "log_every", "ckpt_every", "ckpt_dir",
-                    "resume", "seed", "dtype", "sequence_parallel"}},
+                    "resume", "seed", "dtype", "sequence_parallel",
+                    "zero_stage", "pipeline_parallel",
+                    "pipeline_microbatches"}},
         mesh=tuple(tree.get("mesh", (1, 1))),
     )
 

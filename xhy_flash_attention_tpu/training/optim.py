@@ -19,18 +19,23 @@ from .config import OptimizerConfig, SchedulerConfig
 __all__ = ["make_optimizer", "make_schedule", "decay_mask"]
 
 
-def decay_mask(params) -> Any:
+def decay_mask(params, stacked_dims: int = 0) -> Any:
     """True where weight decay applies: 2D+ kernels / embeddings; biases
-    and norm scales are excluded (≙ param_grouping.py no-decay lists)."""
+    and norm scales are excluded (≙ param_grouping.py no-decay lists).
+
+    stacked_dims: leading axes that are stacking, not parameter shape —
+    pipeline-parallel stage params carry a (pp, layers_per_stage, ...)
+    prefix; the decay decision must see the per-layer rank."""
     import jax
 
     def is_decay(path, leaf):
         name = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
+        nd = jnp.ndim(leaf) - stacked_dims
         if name in ("bias",):
             return False
-        if name in ("weight", "scale") and jnp.ndim(leaf) <= 1:
+        if name in ("weight", "scale") and nd <= 1:
             return False  # norm params
-        return jnp.ndim(leaf) >= 2
+        return nd >= 2
 
     return jax.tree_util.tree_map_with_path(is_decay, params)
 
@@ -52,7 +57,7 @@ def make_schedule(cfg: SchedulerConfig) -> optax.Schedule:
 
 
 def make_optimizer(opt_cfg: OptimizerConfig, sched_cfg: SchedulerConfig,
-                   params=None) -> optax.GradientTransformation:
+                   params=None, mask=None) -> optax.GradientTransformation:
     sched = make_schedule(sched_cfg)
     lr = lambda step: opt_cfg.lr * sched(step)
     chain = []
@@ -62,7 +67,7 @@ def make_optimizer(opt_cfg: OptimizerConfig, sched_cfg: SchedulerConfig,
         chain.append(optax.adamw(
             lr, b1=opt_cfg.betas[0], b2=opt_cfg.betas[1], eps=opt_cfg.eps,
             weight_decay=opt_cfg.weight_decay,
-            mask=decay_mask if opt_cfg.weight_decay > 0 else None,
+            mask=(mask or decay_mask) if opt_cfg.weight_decay > 0 else None,
         ))
     elif opt_cfg.name == "sgd":
         chain.append(optax.sgd(lr, momentum=0.9))

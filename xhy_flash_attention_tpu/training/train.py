@@ -126,7 +126,16 @@ class Trainer:
         self.opt_state = None
         dp, tp = cfg.mesh
         self.mesh = None
-        if dp * tp > 1:
+        self._pipe = None
+        pp = getattr(cfg, "pipeline_parallel", 1)
+        if pp > 1:
+            if tp != 1:
+                raise ValueError("pipeline_parallel composes with dp only "
+                                 "(set mesh tp=1)")
+            from ..parallel import make_mesh
+
+            self.mesh = make_mesh(dp=dp, tp=pp, axis_names=("dp", "pp"))
+        elif dp * tp > 1:
             from ..parallel import make_mesh
 
             self.mesh = make_mesh(dp=dp, tp=tp)
@@ -149,6 +158,8 @@ class Trainer:
         return losses.mean()
 
     def _build_step(self):
+        if getattr(self.cfg, "pipeline_parallel", 1) > 1:
+            return self._build_step_pipeline()
         if self.mesh is not None:
             return self._build_step_mesh()
 
@@ -162,6 +173,113 @@ class Trainer:
             return params, opt_state, loss, gnorm
 
         return jax.jit(step_fn, donate_argnums=(0, 1))
+
+    def _build_step_pipeline(self):
+        """dp × pp training step (≙ nothing in the reference — it scopes
+        pipeline parallelism out; see parallel/pipeline.py).
+
+        Params are held in pipeline form {"stage": (pp, L/pp, ...) stacked
+        blocks sharded over 'pp', "rest": replicated embeddings/head};
+        checkpoints store the canonical sequential tree (portable across
+        pp configs)."""
+        import functools
+
+        from jax import shard_map
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..parallel.pipeline import GPTPipeline
+        from .optim import decay_mask, make_optimizer
+
+        cfg = self.cfg
+        dp, _ = cfg.mesh
+        pp = cfg.pipeline_parallel
+        M = cfg.pipeline_microbatches or 4 * pp
+        per_dp = cfg.data.batch_size // max(dp, 1)
+        if per_dp % M:
+            raise ValueError(
+                f"per-dp-rank batch {per_dp} must divide into "
+                f"{M} microbatches")
+        pipe = GPTPipeline(self.model_cfg, pp=pp, num_microbatches=M,
+                           axis_name="pp")
+        self._pipe = pipe
+
+        # decay decisions must see per-layer rank under the (pp, L/pp)
+        # stacking; rebuild the optimizer with a stacking-aware mask
+        def pp_mask(params):
+            return {"stage": decay_mask(params["stage"], stacked_dims=2),
+                    "rest": decay_mask(params["rest"])}
+
+        self.opt = make_optimizer(cfg.optimizer, cfg.scheduler, mask=pp_mask)
+
+        mesh = self.mesh
+        sspec, rspec = P("pp"), P()
+
+        def to_pp(sub):
+            st, rs = pipe.prepare(sub)
+            st = jax.tree.map(
+                lambda x: jax.device_put(x, NamedSharding(mesh, sspec)), st)
+            rs = jax.tree.map(
+                lambda x: jax.device_put(x, NamedSharding(mesh, rspec)), rs)
+            return {"stage": st, "rest": rs}
+
+        canonical = self.params
+        self.params = to_pp(canonical)
+        if self.opt_state is None:
+            self.opt_state = self.opt.init(self.params)
+        else:
+            # loaded/fresh moments are canonical trees (the adamw mask only
+            # wraps the stateless decay transform) — convert, don't re-init,
+            # so resume keeps the Adam state
+            self.opt_state = _map_param_subtrees(
+                to_pp, self.opt_state, canonical)
+
+        def local_step(stage_local, rest, ids, labels):
+            loss, (gs, gr) = jax.value_and_grad(
+                pipe.local_loss, argnums=(0, 1)
+            )(stage_local, rest, ids, labels)
+            loss = jax.lax.psum(loss, "pp")
+            gr = pipe.reduce_rest_grads(gr)
+            if dp > 1:
+                loss = jax.lax.pmean(loss, "dp")
+                gs = jax.tree.map(lambda g: jax.lax.pmean(g, "dp"), gs)
+                gr = jax.tree.map(lambda g: jax.lax.pmean(g, "dp"), gr)
+            return loss, gs, gr
+
+        grad_fn = shard_map(
+            local_step,
+            mesh=mesh,
+            in_specs=(sspec, rspec, P("dp"), P("dp")),
+            out_specs=(P(), sspec, rspec),
+            check_vma=False,
+        )
+
+        def step_fn(params, opt_state, ids, labels):
+            loss, gs, gr = grad_fn(params["stage"], params["rest"],
+                                   ids, labels)
+            grads = {"stage": gs, "rest": gr}
+            gnorm = grad_norm(grads)
+            updates, opt_state = self.opt.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            # pin the layouts across steps
+            params = {
+                "stage": jax.tree.map(
+                    lambda x: jax.lax.with_sharding_constraint(
+                        x, NamedSharding(mesh, sspec)), params["stage"]),
+                "rest": jax.tree.map(
+                    lambda x: jax.lax.with_sharding_constraint(
+                        x, NamedSharding(mesh, rspec)), params["rest"]),
+            }
+            return params, opt_state, loss, gnorm
+
+        return jax.jit(step_fn, donate_argnums=(0, 1))
+
+    def _canonical_params(self):
+        """Sequential-model param tree regardless of internal layout."""
+        if self._pipe is not None and isinstance(self.params, dict) \
+                and "stage" in self.params:
+            return self._pipe.merge(self.params["stage"],
+                                    self.params["rest"])
+        return self.params
 
     def _build_step_mesh(self):
         from jax import shard_map
@@ -263,10 +381,20 @@ class Trainer:
     def save_checkpoint(self, path: Optional[str] = None):
         path = path or os.path.join(self.cfg.ckpt_dir, f"step_{self.step}.ckpt")
         Path(path).parent.mkdir(parents=True, exist_ok=True)
+        params, opt_state = self.params, self.opt_state
+        if self._pipe is not None and isinstance(params, dict) \
+                and "stage" in params:
+            # store the canonical sequential tree — checkpoints stay
+            # portable across pipeline configurations
+            opt_state = _map_param_subtrees(
+                lambda sub: self._pipe.merge(sub["stage"], sub["rest"]),
+                opt_state, params,
+            )
+            params = self._canonical_params()
         payload = {
             "step": self.step,
-            "params": jax.device_get(self.params),
-            "opt_state": jax.device_get(self.opt_state),
+            "params": jax.device_get(params),
+            "opt_state": jax.device_get(opt_state),
             "data": self.data.state_dict(),
             "num_tokens": self.num_tokens.state_dict(),
         }
@@ -312,12 +440,13 @@ class Trainer:
         def eval_loss(params, ids, labels):
             return self._loss_fn(params, ids, labels)
 
+        eval_params = self._canonical_params()
         ppl = Perplexity()
         it = iter(data)
         tokens_per_batch = data.batch_size * data.seqlen
         for _ in range(max_batches):
             ids, labels = next(it)
-            loss = float(eval_loss(self.params, jnp.asarray(ids),
+            loss = float(eval_loss(eval_params, jnp.asarray(ids),
                                    jnp.asarray(labels)))
             ppl.update(loss * tokens_per_batch, tokens_per_batch)
         return {"eval_loss": ppl.total_nll / max(ppl.total_tokens, 1),
