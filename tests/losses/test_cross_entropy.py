@@ -74,64 +74,13 @@ def test_cross_entropy_vocab_parallel():
     assert jnp.allclose(g, gr, atol=1e-4)
 
 
-@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
-def test_cross_entropy_dlogits_kernel(monkeypatch, dtype):
-    """The Pallas dlogits backward (lm-head hot path) == the XLA chain."""
-    from xhy_flash_attention_tpu.losses import cross_entropy as ce
-
+def test_cross_entropy_weighted_cotangent():
+    """Non-uniform per-row cotangents flow through grad_scale exactly."""
     n, v = 128, 640
-    logits = jax.random.normal(jax.random.PRNGKey(4), (n, v), dtype) * 2
+    logits = jax.random.normal(jax.random.PRNGKey(4), (n, v), jnp.float32) * 2
     labels = jax.random.randint(jax.random.PRNGKey(5), (n,), 0, v)
     labels = labels.at[7].set(-100)
-    # non-uniform cotangent so grad_scale is exercised per row
     w = jnp.linspace(0.5, 2.0, n)
-    f = lambda lg: (cross_entropy_loss(lg, labels) * w).sum()
-    monkeypatch.setattr(ce, "_KERNEL_MIN_SIZE", 0)
-    g_kernel = jax.grad(f)(logits)
-    monkeypatch.setattr(ce, "_KERNEL_MIN_SIZE", 1 << 62)
-    g_xla = jax.grad(f)(logits)
-    assert g_kernel.dtype == g_xla.dtype == dtype
-    np.testing.assert_allclose(
-        g_kernel.astype(jnp.float32), g_xla.astype(jnp.float32),
-        atol=2e-6 if dtype == jnp.float32 else 1e-3,
-    )
-
-
-def test_cross_entropy_dlogits_kernel_vocab_parallel(monkeypatch):
-    """Kernel-path backward under vocab sharding == unsharded reference."""
-    from jax import shard_map
-
-    from xhy_flash_attention_tpu.losses import cross_entropy as ce
-
-    monkeypatch.setattr(ce, "_KERNEL_MIN_SIZE", 0)
-    n, v, tp = 32, 1024, 4
-    mesh = Mesh(np.array(jax.devices()[:tp]), ("tp",))
-    logits = jax.random.normal(jax.random.PRNGKey(6), (n, v), jnp.float32)
-    labels = jax.random.randint(jax.random.PRNGKey(7), (n,), 0, v)
-
-    def local_fn(lg_local, labels):
-        vocab_start = jax.lax.axis_index("tp") * (v // tp)
-        return cross_entropy_loss(
-            lg_local, labels, 0.0, -100, 0.0, "tp", vocab_start
-        )
-
-    # check_vma=False: with vma checking on, interpret mode falls back to
-    # the XLA chain (compiled TPU keeps the kernel); this exercises the
-    # kernel body itself under shard_map. NOTE check_vma=False scales the
-    # replicated-out cotangent by 1/tp (shard_map transpose semantics, both
-    # paths identically), so compare kernel vs XLA under the SAME wrapper.
-    f = shard_map(local_fn, mesh=mesh, check_vma=False,
-                  in_specs=(P(None, "tp"), P(None)), out_specs=P(None))
-    g_kernel = jax.grad(lambda lg: f(lg, labels).sum())(logits)
-    monkeypatch.setattr(ce, "_KERNEL_MIN_SIZE", 1 << 62)
-    g_xla = jax.grad(lambda lg: f(lg, labels).sum())(logits)
-    np.testing.assert_allclose(g_kernel, g_xla, atol=1e-6)
-    monkeypatch.setattr(ce, "_KERNEL_MIN_SIZE", 0)
-
-    # the vma-checked path matches the unsharded reference end-to-end
-    # (XLA fallback in interpret mode; the kernel on hardware)
-    fv = shard_map(local_fn, mesh=mesh,
-                   in_specs=(P(None, "tp"), P(None)), out_specs=P(None))
-    gv = jax.grad(lambda lg: fv(lg, labels).sum())(logits)
-    gr = jax.grad(lambda lg: ref_ce(lg, labels).sum())(logits)
-    np.testing.assert_allclose(gv, gr, atol=1e-4)
+    g = jax.grad(lambda lg: (cross_entropy_loss(lg, labels) * w).sum())(logits)
+    gr = jax.grad(lambda lg: (ref_ce(lg, labels) * w).sum())(logits)
+    np.testing.assert_allclose(g, gr, atol=2e-6)

@@ -15,21 +15,12 @@ rank's logit — one scalar-vector collective instead of gathering logits.
 from __future__ import annotations
 
 import functools
-import os
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
-from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
-
-from ..ops.flash_attention.common import interpret_mode
 
 __all__ = ["cross_entropy_loss", "CrossEntropyLoss"]
-
-# Route the backward's dlogits through the Pallas kernel above this many
-# logits elements (the lm-head hot path); tiny shapes stay pure-XLA.
-_KERNEL_MIN_SIZE = 1 << 22
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
@@ -120,61 +111,6 @@ def _ce_fwd(logits, labels, vocab_start, label_smoothing, ignore_index,
     return losses, res + (vocab_start,)
 
 
-def _ce_dlogits_kernel(lab_ref, lse_ref, gs_ref, logits_ref, dl_ref, *, bv):
-    # one (bn, bv) tile: dl = (exp(x - lse) - onehot(label)) * grad_scale
-    j = pl.program_id(1)
-    x = logits_ref[...].astype(jnp.float32)
-    p = jnp.exp(x - lse_ref[...])  # lse (bn, 1) broadcasts over lanes
-    cols = j * bv + jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
-    onehot = (cols == lab_ref[...]).astype(jnp.float32)  # lab -1 => no hit
-    dl_ref[...] = ((p - onehot) * gs_ref[...]).astype(dl_ref.dtype)
-
-
-def _ce_dlogits_pallas(logits, lab, lse, grad_scale):
-    """Materialized bf16/fp32 dlogits at HBM bandwidth (eps=0 fast path).
-
-    XLA's default is to re-fuse the exp chain into BOTH lm-head backward
-    matmuls, which drags the dW matmul to ~86 TF/s (measured, gpt2m step
-    profile) — one streaming pass here lets both matmuls run clean.
-    """
-    n, v = logits.shape
-    bn = min(n, 256)
-    bv = min(v, 2048)
-    row = pl.BlockSpec((bn, 1), lambda i, j: (i, 0))
-    # under shard_map(check_vma=True) the output must declare its mesh-axis
-    # variance: the union of the operands' (dlogits varies wherever any
-    # input does)
-    vma = frozenset().union(*(
-        getattr(jax.typeof(x), "vma", frozenset()) or frozenset()
-        for x in (logits, lab, lse, grad_scale)
-    ))
-    if vma:
-        out = jax.ShapeDtypeStruct((n, v), logits.dtype, vma=vma)
-        lift = lambda x: jax.lax.pvary(
-            x, tuple(vma - (getattr(jax.typeof(x), "vma", None) or frozenset()))
-        )
-        logits, lab, lse, grad_scale = map(lift, (logits, lab, lse, grad_scale))
-    else:
-        out = jax.ShapeDtypeStruct((n, v), logits.dtype)
-    return pl.pallas_call(
-        functools.partial(_ce_dlogits_kernel, bv=bv),
-        grid=(pl.cdiv(n, bn), pl.cdiv(v, bv)),
-        in_specs=[row, row, row,
-                  pl.BlockSpec((bn, bv), lambda i, j: (i, j))],
-        out_specs=pl.BlockSpec((bn, bv), lambda i, j: (i, j)),
-        out_shape=out,
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary"),
-        ),
-        interpret=interpret_mode(),
-    )(
-        lab.reshape(n, 1),
-        lse.astype(jnp.float32).reshape(n, 1),
-        grad_scale.reshape(n, 1),
-        logits,
-    )
-
-
 def _ce_bwd(label_smoothing, ignore_index, lse_square_scale, axis_name,
             res, g):
     logits, labels, lse, valid, vocab_start = res
@@ -184,21 +120,6 @@ def _ce_bwd(label_smoothing, ignore_index, lse_square_scale, axis_name,
     eps = label_smoothing
     local_labels = labels - vocab_start
     in_shard = (local_labels >= 0) & (local_labels < v_local)
-    # interpret mode can't run the kernel body under shard_map's vma
-    # tracking (pvary'd refs feed plain-iota compares); the compiled path
-    # discharges the body outside vma semantics and is fine
-    vma_blocked = interpret_mode() and bool(
-        getattr(jax.typeof(logits), "vma", None) or frozenset()
-    )
-    if (
-        eps == 0.0
-        and lse_square_scale == 0.0
-        and n * v_local >= _KERNEL_MIN_SIZE
-        and not vma_blocked
-        and os.environ.get("XFA_XENT_KERNEL", "1") != "0"
-    ):
-        lab = jnp.where(in_shard, local_labels, -1).astype(jnp.int32)
-        return _ce_dlogits_pallas(logits, lab, lse, grad_scale), None, None
     x = logits.astype(jnp.float32)
     # softmax over the global vocab: exp(x - lse)
     p = jnp.exp(x - lse[:, None])
@@ -213,9 +134,12 @@ def _ce_bwd(label_smoothing, ignore_index, lse_square_scale, axis_name,
     else:
         dlogits = p * (1.0 + 2.0 * lse_square_scale * lse[:, None]) - onehot
     dlogits = dlogits * grad_scale[:, None]
-    # NOTE: an optimization_barrier here (materializing through XLA) was
-    # measured NET SLOWER (gpt2m 92.20 vs 91.62 ms) — the Pallas streaming
-    # kernel above is how the hot path escapes the re-fused exp chain.
+    # NOTE: two attempts to "help" XLA here both measured no better on chip
+    # and were removed: (a) an optimization_barrier materializing dlogits
+    # (gpt2m step 92.20 vs 91.62 ms — slower), and (b) a streaming Pallas
+    # dlogits kernel (strict A/B on the packed-kernel stack: gpt2m MFU
+    # 58.1/57.7 ON vs 58.5 OFF, gpt2s tokens/s an exact wash) — XLA already
+    # overlaps the re-fused exp chain with the lm-head backward matmuls.
     return dlogits.astype(dtype), None, None
 
 
