@@ -13,6 +13,7 @@ from .ops.flash_attention import (
     calc_reduced_attn_scores,
     flashmask_attention,
     flash_attention,
+    flash_attn_fp8_func,
     flash_attn_func,
     flash_attn_qkvpacked_func,
     flash_attn_kvpacked_func,

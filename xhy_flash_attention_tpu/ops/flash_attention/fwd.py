@@ -105,8 +105,13 @@ def _fwd_kernel(
     flat_iter: bool = False,
     stats_packed: bool = False,
     single_shot: bool = False,
+    fp8: bool = False,
+    kv_heads: int = 1,
+    dsc_n: int = 0,
 ):
     it = iter(refs)
+    if fp8:
+        dsc_ref = next(it)
     if dropout_p > 0.0:
         seed_ref = next(it)
     if fm_mode is not None:
@@ -142,6 +147,18 @@ def _fwd_kernel(
 
     b_idx = pl.program_id(0)
     h_idx = pl.program_id(1)
+    if fp8:
+        # FP8 e4m3 inputs with per-(batch, kv-head) descale (≙ FA3
+        # q/k/v_descale, csrc/flash_attn_v3/flash_api.h:69-78; like the
+        # reference, q_descale is indexed by the KV head of the group).
+        # qd*kd folds into the softmax scale at the MXU input; vd is
+        # linear in the accumulator and folds into the output epilogue.
+        hk_idx = h_idx // (pl.num_programs(1) // kv_heads)
+        dsc_i = b_idx * kv_heads + hk_idx
+        qd_kd = dsc_ref[dsc_i] * dsc_ref[dsc_n + dsc_i]
+        v_descale = dsc_ref[2 * dsc_n + dsc_i]
+    else:
+        qd_kd = v_descale = None
     if flat_iter:
         # Flat windowed iteration: the (iq, kv) plane is collapsed to ONE
         # sequential axis that enumerates only each row's visible KV
@@ -305,8 +322,17 @@ def _fwd_kernel(
         # (bq, bk) score matrix — d/bk fewer VPU ops; this is the
         # reorder_ops=True operand ordering the reference's low-precision
         # baseline defines the error contract around
-        q = (q_ref[0, 0].astype(jnp.float32) * sm_scale).astype(q_ref.dtype)
-        k = k_ref[0, 0]
+        if fp8:
+            # dequant fused at the MXU input: v5e has no fp8 MXU, so the
+            # e4m3 payload converts to bf16 in VMEM (half the HBM bytes of
+            # bf16 inputs either way); qd*kd rides the same q-tile scale
+            # multiply the bf16 path already pays for sm_scale
+            q = (q_ref[0, 0].astype(jnp.float32)
+                 * (sm_scale * qd_kd)).astype(jnp.bfloat16)
+            k = k_ref[0, 0].astype(jnp.bfloat16)
+        else:
+            q = (q_ref[0, 0].astype(jnp.float32) * sm_scale).astype(q_ref.dtype)
+            k = k_ref[0, 0]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
@@ -351,7 +377,7 @@ def _fwd_kernel(
             kseg = kseg_ref[0]        # (1, bk)
             s = jnp.where(qseg == kseg, s, NEG_INF)
 
-        v = v_ref[0, 0]
+        v = v_ref[0, 0].astype(jnp.bfloat16) if fp8 else v_ref[0, 0]
         if single_shot:
             # Single-KV-block direct path (the s<=1024 training shapes at
             # 1024^2 tiles): the row's ONLY block computes the complete
@@ -370,6 +396,8 @@ def _fwd_kernel(
                 preferred_element_type=jnp.float32,
             )
             l_inv = jnp.where(psum == 0.0, 0.0, 1.0 / psum)
+            if fp8:
+                l_inv = l_inv * v_descale
             o_ref[0, 0] = (pv * l_inv).astype(o_ref.dtype)
             if lse_ref is not None:
                 stat1 = jnp.where(
@@ -485,6 +513,8 @@ def _fwd_kernel(
         def _finish():
             l = l_scr[:, :1]
             l_inv = jnp.where(l == 0.0, 0.0, 1.0 / l)
+            if fp8:
+                l_inv = l_inv * v_descale
             o_ref[0, 0] = (acc_scr[...] * l_inv).astype(o_ref.dtype)
             if lse_ref is not None:
                 if stats_packed:
@@ -533,6 +563,9 @@ def flash_attention_fwd(
     block_mask: Optional[jax.Array] = None,
     q_positions: Optional[jax.Array] = None,
     kv_positions: Optional[jax.Array] = None,
+    q_descale: Optional[jax.Array] = None,
+    k_descale: Optional[jax.Array] = None,
+    v_descale: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, Optional[jax.Array]]:
     """Forward flash attention on (batch, heads, seq, head_dim) inputs.
 
@@ -543,6 +576,14 @@ def flash_attention_fwd(
     flashmask_vecs: optional (b, hm, NV, sk) int32 column-wise sparse-mask
     row-index vectors (FlashMask, ≙ csrc/capi/flash_attn.h:38-43) with
     flashmask_mode one of common.FM_NV's keys; hm must divide h.
+
+    FP8 prefill (≙ FA3 e4m3 forward, csrc/flash_attn_v3/flash_api.h:69-78):
+    when q/k/v are float8_e4m3fn, q_descale/k_descale/v_descale are
+    optional (b, hk) fp32 per-head dequantization scales (default 1.0);
+    they ride scalar prefetch and fold into the q-tile scale multiply /
+    output epilogue, so dequant costs one VPU convert per element right at
+    the MXU input while the HBM reads stay fp8-sized. Forward-only, no
+    bias/dropout (the reference's fp8 path has neither); out is bf16.
     """
     if causal:
         window_size = (window_size[0], 0)
@@ -582,9 +623,25 @@ def flash_attention_fwd(
             ikv = jnp.maximum(ikv, jnp.maximum(lo, 0))
         return jnp.clip(ikv, 0, nkv - 1)
 
+    is_fp8 = jnp.dtype(q.dtype) == jnp.float8_e4m3fn.dtype
+    if is_fp8:
+        assert bias is None, "fp8 forward does not support bias (≙ FA3)"
+        assert dropout_p == 0.0, "fp8 forward does not support dropout (≙ FA3)"
+        assert jnp.dtype(k.dtype) == jnp.float8_e4m3fn.dtype
+        assert jnp.dtype(v.dtype) == jnp.float8_e4m3fn.dtype
+
     in_specs = []
     inputs = []
     num_scalar_prefetch = 0
+    if is_fp8:
+        ones = lambda: jnp.ones((b, hk), jnp.float32)
+        dsc = jnp.concatenate([
+            (jnp.asarray(x, jnp.float32).reshape(b, hk)
+             if x is not None else ones()).reshape(-1)
+            for x in (q_descale, k_descale, v_descale)
+        ])
+        inputs.append(dsc)
+        num_scalar_prefetch += 1
     if dropout_p > 0.0:
         if dropout_seed is None:
             raise ValueError("dropout requires a seed")
@@ -842,7 +899,8 @@ def flash_attention_fwd(
         )
         inputs.extend([qposp[:, :, None], kposp[:, None, :]])
 
-    out_shape = [jax.ShapeDtypeStruct((b, h, sqp, d), q.dtype)]
+    out_dtype = jnp.bfloat16 if is_fp8 else q.dtype
+    out_shape = [jax.ShapeDtypeStruct((b, h, sqp, d), out_dtype)]
     if flat_causal:
         o_map = q_map
         lse_map = lambda b_, h_, t, *r: (b_, h_, r[-2][t], 0)
@@ -885,6 +943,9 @@ def flash_attention_fwd(
         num_kv_blocks=nkv,
         need_lse=need_lse,
         stats_packed=stats_packed,
+        fp8=is_fp8,
+        kv_heads=hk,
+        dsc_n=b * hk,
         fm_mode=flashmask_mode if has_flashmask else None,
         fm_heads=fm_heads if has_flashmask else 1,
         has_blockmask=has_blockmask,
@@ -911,14 +972,19 @@ def flash_attention_fwd(
         # bias empirically doubles the dbias recompute error under the
         # zero-seeded shift (0.021 -> 0.041 max vs fp64 at the contract
         # test's shapes) while lse stays bit-comparable — keep the exact
-        # seeded path when a bias is trained through the kernel
-        zero_seed=ZERO_SEED and not has_bias,
+        # seeded path when a bias is trained through the kernel.
+        # fp8 likewise: per-head descale makes wide score magnitudes the
+        # NORM (that is what the scales are for), so the zero-shift +70
+        # clamp cannot be assumed — fp8 always seeds the shift with the
+        # first block's true max.
+        zero_seed=ZERO_SEED and not has_bias and not is_fp8,
         # nkv == 1 (s <= 1024 at default tiles): every row's ONLY block
         # computes the complete softmax — the online state machinery is
         # pure overhead there (~0.4 us of a 3.9 us step at the gpt2
         # training shape). Same gates as the zero-seeded deferred path.
         single_shot=(
             nkv == 1 and SINGLE_SHOT and ZERO_SEED and not has_bias
+            and not is_fp8
             and not has_flashmask and not has_blockmask
             and not has_positions and not has_segments and not has_left
             and (not has_right or offset >= 0)

@@ -31,6 +31,7 @@ from .bwd import flash_attention_bwd
 
 __all__ = [
     "flash_attention",
+    "flash_attn_fp8_func",
     "flash_attn_func",
     "flash_attn_qkvpacked_func",
     "flash_attn_kvpacked_func",
@@ -284,6 +285,49 @@ def flash_attn_func(
         )
         return _bshd_to_bhsd(out), lse, s_dmask
     return _bshd_to_bhsd(res)
+
+
+def flash_attn_fp8_func(
+    q, k, v,
+    q_descale: Optional[jax.Array] = None,
+    k_descale: Optional[jax.Array] = None,
+    v_descale: Optional[jax.Array] = None,
+    softmax_scale: Optional[float] = None,
+    causal: bool = False,
+    window_size: Tuple[int, int] = (-1, -1),
+    softcap: float = 0.0,
+    return_lse: bool = False,
+):
+    """FP8 (e4m3) prefill/training attention forward with per-head descale
+    — ≙ the reference FA3 fp8 forward (csrc/flash_attn_v3/flash_api.h:69-78,
+    mainloop mainloop_fwd_sm90_tma_gmma_ws.hpp).
+
+    q: (batch, seqlen_q, nheads, head_dim) float8_e4m3fn; k/v: (batch,
+    seqlen_k, nheads_k, head_dim) float8_e4m3fn. q_descale/k_descale/
+    v_descale: optional (batch, nheads_k) fp32 dequant scales (default 1.0);
+    like the reference, q_descale is shared across each GQA group (FA3
+    indexes it by `bidh / qhead_per_khead`). Returns out in bf16, plus the
+    fp32 logsumexp (b, h, sq) of the DESCALED scores when ``return_lse``.
+
+    Forward-only (the reference's fp8 path has no backward — FA3 bwd
+    requires fp16/bf16) and no bias/dropout, matching FA3. On TPU the fp8
+    payload halves HBM input traffic; dequant fuses into the kernel at the
+    MXU input (v5e converts on the VPU; v6e+ natively).
+    """
+    if softmax_scale is None:
+        softmax_scale = 1.0 / math.sqrt(q.shape[-1])
+    qt, kt, vt = map(_bshd_to_bhsd, (q, k, v))
+    sq, sk, d = qt.shape[2], kt.shape[2], qt.shape[3]
+    out, lse = flash_attention_fwd(
+        qt, kt, vt,
+        sm_scale=float(softmax_scale), causal=causal,
+        window_size=(int(window_size[0]), int(window_size[1])),
+        softcap=float(softcap), need_lse=return_lse,
+        block_sizes=BlockSizes.for_shape(sq, sk, d),
+        q_descale=q_descale, k_descale=k_descale, v_descale=v_descale,
+    )
+    out = _bshd_to_bhsd(out)
+    return (out, lse) if return_lse else out
 
 
 def flash_attn_qkvpacked_func(qkv, dropout_p=0.0, softmax_scale=None,

@@ -22,6 +22,7 @@ __all__ = [
     "QuantizedKV",
     "quantize_kv",
     "dequantize_kv",
+    "quantize_fp8_per_head",
     "quantize_weight",
     "weight_only_quant_matmul",
 ]
@@ -73,6 +74,29 @@ def quantize_kv(x: jax.Array, dtype=jnp.int8) -> QuantizedKV:
 
 def dequantize_kv(qkv: QuantizedKV, dtype=jnp.float32) -> jax.Array:
     return (qkv.values.astype(jnp.float32) * qkv.scales).astype(dtype)
+
+
+def quantize_fp8_per_head(
+    x: jax.Array, num_kv_heads: Optional[int] = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """Per-(batch, kv-head) symmetric FP8 e4m3 quantization for the
+    prefill-attention fp8 path (≙ FA3 q/k/v_descale granularity,
+    csrc/flash_attn_v3/flash_api.h:69-78).
+
+    x: (b, s, h, d). ``num_kv_heads`` groups query heads GQA-style (each
+    group of h // num_kv_heads heads shares one scale — FA3 indexes
+    q_descale by ``bidh / qhead_per_khead``); default per-head. Returns
+    (values float8_e4m3fn (b, s, h, d), descale fp32 (b, num_kv_heads))
+    with dequant(x) = values * descale[b, head_group].
+    """
+    b, s, h, d = x.shape
+    hk = num_kv_heads or h
+    assert h % hk == 0, (h, hk)
+    xf = x.astype(jnp.float32).reshape(b, s, hk, (h // hk) * d)
+    amax = jnp.max(jnp.abs(xf), axis=(1, 3))  # (b, hk)
+    scale = jnp.maximum(amax / 448.0, 1e-8)
+    q = (xf / scale[:, None, :, None]).reshape(b, s, h, d)
+    return q.astype(jnp.float8_e4m3fn), scale
 
 
 def quantize_weight(w: jax.Array, dtype=jnp.int8,
