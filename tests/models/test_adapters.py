@@ -47,7 +47,9 @@ def test_opt_logits_match_hf(word_embed_proj_dim, prenorm):
     _compare(hf_model, cfg, remap_state_dict_hf_opt, hf_cfg.vocab_size)
 
 
-def test_gptj_logits_match_hf():
+@pytest.mark.parametrize("rotary_dim", [16, 32])
+def test_gptj_logits_match_hf(rotary_dim):
+    """rotary_dim < head_dim (partial interleaved rotary) and == head_dim."""
     from xhy_flash_attention_tpu.models.gptj import (
         gptj_config_to_gpt_config,
         remap_state_dict_hf_gptj,
@@ -55,8 +57,8 @@ def test_gptj_logits_match_hf():
 
     hf_cfg = transformers.GPTJConfig(
         vocab_size=173, n_embd=128, n_layer=2, n_head=4, n_inner=256,
-        rotary_dim=16, n_positions=128, resid_pdrop=0.0, embd_pdrop=0.0,
-        attn_pdrop=0.0, activation_function="gelu_new",
+        rotary_dim=rotary_dim, n_positions=128, resid_pdrop=0.0,
+        embd_pdrop=0.0, attn_pdrop=0.0, activation_function="gelu_new",
     )
     torch.manual_seed(0)
     hf_model = transformers.GPTJForCausalLM(hf_cfg).eval()
@@ -64,8 +66,9 @@ def test_gptj_logits_match_hf():
     _compare(hf_model, cfg, remap_state_dict_hf_gptj, hf_cfg.vocab_size)
 
 
+@pytest.mark.parametrize("rotary_pct", [0.25, 1.0])
 @pytest.mark.parametrize("parallel", [True, False])
-def test_gpt_neox_logits_match_hf(parallel):
+def test_gpt_neox_logits_match_hf(parallel, rotary_pct):
     from xhy_flash_attention_tpu.models.gpt_neox import (
         gpt_neox_config_to_gpt_config,
         remap_state_dict_hf_gpt_neox,
@@ -73,7 +76,7 @@ def test_gpt_neox_logits_match_hf(parallel):
 
     hf_cfg = transformers.GPTNeoXConfig(
         vocab_size=173, hidden_size=128, num_hidden_layers=2,
-        num_attention_heads=4, intermediate_size=256, rotary_pct=0.25,
+        num_attention_heads=4, intermediate_size=256, rotary_pct=rotary_pct,
         max_position_embeddings=128, use_parallel_residual=parallel,
         hidden_act="gelu", tie_word_embeddings=False,
         attention_dropout=0.0, hidden_dropout=0.0,

@@ -15,19 +15,20 @@ from xhy_flash_attention_tpu.models.mixtral import (
 )
 
 
-def _tiny_hf_cfg():
+def _tiny_hf_cfg(sliding_window=None):
     return transformers.MixtralConfig(
         vocab_size=173, hidden_size=128, intermediate_size=256,
         num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
         num_local_experts=4, num_experts_per_tok=2,
         max_position_embeddings=128, rms_norm_eps=1e-5, rope_theta=10000.0,
-        sliding_window=None, attention_dropout=0.0,
+        sliding_window=sliding_window, attention_dropout=0.0,
         tie_word_embeddings=False, output_router_logits=False,
     )
 
 
-def test_mixtral_logits_match_hf():
-    hf_cfg = _tiny_hf_cfg()
+@pytest.mark.parametrize("sliding_window", [None, 16])
+def test_mixtral_logits_match_hf(sliding_window):
+    hf_cfg = _tiny_hf_cfg(sliding_window)
     torch.manual_seed(0)
     hf_model = transformers.MixtralForCausalLM(hf_cfg).eval()
     sd = {k: v.numpy() for k, v in hf_model.state_dict().items()}
