@@ -290,3 +290,104 @@ def test_train_pipeline_matches_single_device(token_file, tmp_path):
     for a, b in zip(jax.tree.leaves(jax.device_get(tr.params)),
                     jax.tree.leaves(merged)):
         np.testing.assert_array_equal(a, b)
+
+
+# ---- vision task (≙ reference training/src/datamodules/imagenet.py +
+# timm_mixup.py + SequenceModel's vision sibling) ---------------------------
+
+def _vit_cfg(tmpdir, **kw):
+    return TrainConfig(
+        model=dict(
+            img_size=16, patch_size=4, num_classes=10, embed_dim=64,
+            depth=2, num_heads=4, mlp_ratio=2.0,
+        ),
+        optimizer=OptimizerConfig(lr=3e-3, weight_decay=0.01, grad_clip=1.0),
+        scheduler=SchedulerConfig(warmup_steps=2, total_steps=60),
+        data=DataConfig(path="", batch_size=16),
+        max_steps=kw.pop("max_steps", 30),
+        log_every=100,
+        ckpt_every=kw.pop("ckpt_every", 0),
+        ckpt_dir=str(tmpdir),
+        dtype="float32",
+        **kw,
+    )
+
+
+def test_vit_train_loss_decreases(tmp_path):
+    from xhy_flash_attention_tpu.training.vision import ViTTrainer
+
+    t = ViTTrainer(_vit_cfg(tmp_path, max_steps=60))
+    t.init_params()
+    t.fit(max_steps=2, log=lambda *_: None)
+    first = t.avg_loss.total_nll / max(t.avg_loss.total_tokens, 1)
+    t.fit(max_steps=60, log=lambda *_: None)
+    last_avg = t.avg_loss.total_nll / t.avg_loss.total_tokens
+    assert t.step == 60
+    # synthetic classes are learnable: the running mean falls (mixup keeps
+    # per-step loss noisy and floors it above plain CE, so the eval acc —
+    # measured without mixup — is the sharp check: 0.55+ at 60 steps,
+    # asserted with margin vs the 0.1 chance level)
+    assert last_avg < first, (first, last_avg)
+    metrics = t.evaluate(n_batches=4)
+    assert metrics["eval_acc"] > 0.3, metrics
+
+
+def test_vit_checkpoint_resume_bitwise(tmp_path):
+    from xhy_flash_attention_tpu.training.vision import ViTTrainer
+
+    cfg = _vit_cfg(tmp_path, ckpt_every=4, max_steps=8)
+    t1 = ViTTrainer(cfg)
+    t1.fit(log=lambda *_: None)
+    ref = jax.device_get(t1.params)
+
+    t2 = ViTTrainer(_vit_cfg(tmp_path, ckpt_every=0, max_steps=8))
+    t2.load_checkpoint(os.path.join(str(tmp_path), "step_4.ckpt"))
+    assert t2.step == 4 and t2.data.step == 4
+    t2.fit(log=lambda *_: None)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                   np.asarray(b)),
+        ref, jax.device_get(t2.params),
+    )
+
+
+def test_image_datamodule_exact_resume():
+    from xhy_flash_attention_tpu.training.vision import ImageDataModule
+
+    dm = ImageDataModule("", 8, img_size=16, seed=5)
+    it = iter(dm)
+    batches = [next(it) for _ in range(4)]
+    dm2 = ImageDataModule("", 8, img_size=16, seed=5)
+    dm2.load_state_dict({"step": 2, "seed": 5})
+    x, y = next(iter(dm2))
+    np.testing.assert_array_equal(x, batches[2][0])
+    np.testing.assert_array_equal(y, batches[2][1])
+
+
+def test_mixup_cutmix_targets_sum_to_one():
+    from xhy_flash_attention_tpu.training.vision import mixup_cutmix
+
+    rng = np.random.default_rng(0)
+    imgs = rng.standard_normal((8, 16, 16, 3)).astype(np.float32)
+    labels = rng.integers(0, 10, 8)
+    for _ in range(8):  # hits both the mixup and cutmix branches
+        mixed, tgt = mixup_cutmix(rng, imgs, labels, 10)
+        assert mixed.shape == imgs.shape and tgt.shape == (8, 10)
+        np.testing.assert_allclose(tgt.sum(-1), 1.0, rtol=1e-5)
+        assert (tgt >= 0).all()
+
+
+def test_image_datamodule_from_npy(tmp_path):
+    """File-backed path: memmapped images.npy/labels.npy (≙ the reference's
+    preprocessed-ImageFolder cache)."""
+    from xhy_flash_attention_tpu.training.vision import ImageDataModule
+
+    rng = np.random.default_rng(1)
+    imgs = rng.integers(0, 256, (64, 16, 16, 3), dtype=np.uint8)
+    labels = rng.integers(0, 10, 64).astype(np.int64)
+    np.save(tmp_path / "images.npy", imgs)
+    np.save(tmp_path / "labels.npy", labels)
+    dm = ImageDataModule(str(tmp_path), 8, num_classes=10, seed=0)
+    assert dm.img_size == 16 and dm.num_samples == 64
+    x, y = next(iter(dm))
+    assert x.shape == (8, 16, 16, 3) and y.shape == (8, 10)
