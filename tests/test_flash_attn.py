@@ -35,7 +35,7 @@ def check_contract(out, ref, lp, what, mult=2.0, atol=ATOL):
     )
 
 
-@pytest.mark.parametrize("dtype", [jnp.bfloat16])
+@pytest.mark.parametrize("dtype", [jnp.bfloat16, jnp.float32])
 @pytest.mark.parametrize("causal", [False, True])
 @pytest.mark.parametrize("d", [64, 128])
 @pytest.mark.parametrize(
@@ -497,24 +497,18 @@ def test_flash_attn_bias_broadcast_dropout():
 
 
 # Head-dim x seqlen breadth sweep (≙ reference tests/test_flash_attn.py:
-# 333-345 which sweeps d in 32..256 incl. 59/111 and odd seqlens). Kept to
-# a representative product so the suite stays runnable in interpret mode;
-# each case checks fwd + all grads against the fp32/low-precision contract.
+# 333-345: a dtype x causal x hdim x seqlen cross-product over d in 32..256
+# incl. the irregular 59/111 and odd seqlens). Full causal x hdim x
+# {3 seqlen pairs} product — interpret mode keeps each case cheap; the
+# pairs cover odd equal lengths, a cross-length prime pair, and a
+# block-crossing 2:1 pair.
 @pytest.mark.parametrize("causal", [False, True])
 @pytest.mark.parametrize(
-    "seqlen_q,seqlen_k,d",
-    [
-        (97, 97, 32),
-        (128, 217, 40),
-        (130, 130, 59),
-        (108, 256, 80),
-        (256, 512, 96),
-        (91, 300, 111),
-        (512, 512, 160),
-        (128, 128, 192),
-        (239, 239, 224),
-        (64, 128, 256),
-    ],
+    "d", [32, 40, 59, 64, 80, 96, 111, 128, 160, 192, 224, 256]
+)
+@pytest.mark.parametrize(
+    "seqlen_q,seqlen_k",
+    [(97, 97), (91, 217), (256, 512)],
 )
 def test_flash_attn_hdim_seqlen_sweep(seqlen_q, seqlen_k, d, causal):
     dtype = jnp.bfloat16
