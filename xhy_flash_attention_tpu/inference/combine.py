@@ -26,7 +26,12 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..ops.flash_attention.common import NEG_INF, interpret_mode, round_up
+from ..ops.flash_attention.common import (
+    NEG_INF,
+    interpret_mode,
+    kernel_cast_bf16,
+    round_up,
+)
 
 MIN_LANES = 128
 
@@ -98,7 +103,8 @@ def _splitkv_kernel(lens_ref, *refs,
             # are lane-major (1, block_k) per-token rows folded into the
             # tiny score matrix after the matmul (≙ FA3 k_descale/v_descale
             # composed with split-KV, flash_api.h:69-78,141-162)
-            k = k.astype(q.dtype)
+            k = kernel_cast_bf16(k) if q.dtype == jnp.bfloat16 \
+                else k.astype(q.dtype)
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
@@ -127,7 +133,8 @@ def _splitkv_kernel(lens_ref, *refs,
         v = v_ref[0, 0]
         if quantized:
             p = p * vs_ref[0, 0]
-            v = v.astype(q.dtype)
+            v = kernel_cast_bf16(v) if q.dtype == jnp.bfloat16 \
+                else v.astype(q.dtype)
         pv = jax.lax.dot_general(
             p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,

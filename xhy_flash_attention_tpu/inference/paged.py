@@ -44,7 +44,12 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..ops.flash_attention.common import NEG_INF, interpret_mode, round_up
+from ..ops.flash_attention.common import (
+    NEG_INF,
+    interpret_mode,
+    kernel_cast_bf16,
+    round_up,
+)
 
 MIN_LANES = 128
 
@@ -155,7 +160,8 @@ def _paged_decode_kernel(lens_ref, table_ref, *refs,
         q = q_ref[0, 0]
         k = kv_ref[0, 0, 0]                # (page_size, d) — page block
         if quantized:
-            k = k.astype(q.dtype)
+            k = kernel_cast_bf16(k) if q.dtype == jnp.bfloat16 \
+                else k.astype(q.dtype)
             sc = sc_ref[0, 0]              # (2, page_size) linear scales
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
@@ -185,7 +191,8 @@ def _paged_decode_kernel(lens_ref, table_ref, *refs,
         v = kv_ref[0, 0, 1]
         if quantized:
             p = p * sc[1:2]
-            v = v.astype(q.dtype)
+            v = kernel_cast_bf16(v) if q.dtype == jnp.bfloat16 \
+                else v.astype(q.dtype)
         pv = jax.lax.dot_general(
             p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -314,7 +321,8 @@ def _paged_decode_chunked_kernel(
 
         q = q_ref[0, 0]
         kv = kvbuf[slot]
-        k = kv[0].astype(q.dtype)
+        k = kernel_cast_bf16(kv[0]) if q.dtype == jnp.bfloat16 \
+            else kv[0].astype(q.dtype)
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -345,7 +353,8 @@ def _paged_decode_chunked_kernel(
         p = jnp.exp(s - jnp.maximum(m_next[:, :1], 0.5 * NEG_INF))
         l_scr[...] = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
         m_scr[...] = m_next
-        v = kv[1].astype(q.dtype)
+        v = kernel_cast_bf16(kv[1]) if q.dtype == jnp.bfloat16 \
+            else kv[1].astype(q.dtype)
         if quantized:
             p = p * sc_ref[0, 0][1:2]
         pv = jax.lax.dot_general(

@@ -32,7 +32,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .common import NEG_INF, interpret_mode, round_up
+from .common import NEG_INF, interpret_mode, kernel_cast_bf16, round_up
 
 MIN_LANES = 128
 
@@ -79,7 +79,11 @@ def _decode_kernel(lens_ref, hi_ref, *refs,
             # fold them into the tiny (rows_p, block_k) score matrix after
             # the matmul instead of rescaling the whole (block_k, d) tile —
             # the convert is 1 VPU op/elem, the scale costs rows_p/d less.
-            k = k.astype(q.dtype)
+            # e4m3 payloads route through the integer bit-reconstruction
+            # (common.fp8_to_f32): Mosaic's emulated astype was the whole
+            # decode bottleneck (78 Gelem/s -> 0.09 of roofline).
+            k = kernel_cast_bf16(k) if q.dtype == jnp.bfloat16 \
+                else k.astype(q.dtype)
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
@@ -115,7 +119,8 @@ def _decode_kernel(lens_ref, hi_ref, *refs,
         if quantized:
             # p @ (v * vs) == (p * vs^T) @ v: scale the tiny p instead
             p = p * vs_ref[0, 0]
-            v = v.astype(q.dtype)
+            v = kernel_cast_bf16(v) if q.dtype == jnp.bfloat16 \
+                else v.astype(q.dtype)
         pv = jax.lax.dot_general(
             p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,

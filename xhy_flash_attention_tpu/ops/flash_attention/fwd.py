@@ -48,7 +48,9 @@ from .common import (
     fm_block_stats,
     fm_pad_vecs,
     fm_skip_bypass,
+    fp8_to_f32,
     interpret_mode,
+    kernel_cast_bf16,
     pad_to_block,
 )
 
@@ -325,11 +327,13 @@ def _fwd_kernel(
         if fp8:
             # dequant fused at the MXU input: v5e has no fp8 MXU, so the
             # e4m3 payload converts to bf16 in VMEM (half the HBM bytes of
-            # bf16 inputs either way); qd*kd rides the same q-tile scale
-            # multiply the bf16 path already pays for sm_scale
-            q = (q_ref[0, 0].astype(jnp.float32)
+            # bf16 inputs either way) via the integer bit-reconstruction
+            # (common.fp8_to_f32 — 4x Mosaic's emulated astype); qd*kd
+            # rides the same q-tile scale multiply the bf16 path already
+            # pays for sm_scale
+            q = (fp8_to_f32(q_ref[0, 0])
                  * (sm_scale * qd_kd)).astype(jnp.bfloat16)
-            k = k_ref[0, 0].astype(jnp.bfloat16)
+            k = kernel_cast_bf16(k_ref[0, 0])
         else:
             q = (q_ref[0, 0].astype(jnp.float32) * sm_scale).astype(q_ref.dtype)
             k = k_ref[0, 0]
@@ -377,7 +381,7 @@ def _fwd_kernel(
             kseg = kseg_ref[0]        # (1, bk)
             s = jnp.where(qseg == kseg, s, NEG_INF)
 
-        v = v_ref[0, 0].astype(jnp.bfloat16) if fp8 else v_ref[0, 0]
+        v = kernel_cast_bf16(v_ref[0, 0]) if fp8 else v_ref[0, 0]
         if single_shot:
             # Single-KV-block direct path (the s<=1024 training shapes at
             # 1024^2 tiles): the row's ONLY block computes the complete
