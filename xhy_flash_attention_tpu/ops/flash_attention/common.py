@@ -38,11 +38,25 @@ def fp8_to_f32(x: jax.Array) -> jax.Array:
     exact in interpret mode. Callers fold scales into the returned f32
     before casting to bf16.
     """
+    return fp8_to_f32_tiny(x) * jnp.float32(2.0 ** 120)
+
+
+def fp8_to_f32_tiny(x: jax.Array) -> jax.Array:
+    """e4m3fn -> f32 * 2^-120 in THREE integer ops (no fmul): the
+    exponent rebias is left to the caller, who folds 2^120 into a scale
+    it multiplies anyway (e.g. the quantized-KV per-token scales). Every
+    normal e4m3 code maps exactly — 2^(e-127)(1+m/8) for e >= 1 is a
+    normal f32 AND, after the bf16 cast callers do, a normal bf16
+    (bf16 min normal = 2^-126 = the e=1 value)."""
     i = jax.lax.bitcast_convert_type(x, jnp.uint8).astype(jnp.int32)
     t = jax.lax.shift_right_arithmetic(i << 24, 4) & jnp.int32(
         -2013265921)  # 0x87FFFFFF
-    return jax.lax.bitcast_convert_type(t, jnp.float32) * jnp.float32(
-        2.0 ** 120)
+    return jax.lax.bitcast_convert_type(t, jnp.float32)
+
+
+# scale factor callers fold into their own multiplies when using
+# fp8_to_f32_tiny payloads
+FP8_TINY_REBIAS = 2.0 ** 120
 
 
 def kernel_cast_bf16(x: jax.Array) -> jax.Array:

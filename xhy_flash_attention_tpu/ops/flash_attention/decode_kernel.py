@@ -16,10 +16,11 @@ TPU design:
     kernels.
 
 Quantized-KV throughput (v5e, GQA 32/8 d=128 S=8k): bf16 ~90% of HBM BW,
-INT8 ~78% in int8 bytes (1.7x the bf16 tokens/s — the whole point of the
-quantized cache). FP8 e4m3 stays functional but slow on v5e: the chip has
-no fp8 hardware so the e4m3->bf16 convert is VPU-emulated; on v6e+ the
-same path uses the native convert.
+INT8 0.89 of the 1-byte roofline (1.7x the bf16 tokens/s — the whole
+point of the quantized cache). FP8 e4m3 has no hardware convert on v5e;
+the in-kernel integer bit-reconstruction (common.fp8_to_f32_tiny, rebias
+folded into the per-token scales) reaches ~0.8 of the same roofline vs
+0.09 through Mosaic's emulated astype. v6e+ can use the native convert.
 """
 
 from __future__ import annotations
@@ -32,14 +33,20 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .common import NEG_INF, interpret_mode, kernel_cast_bf16, round_up
+from .common import (
+    FP8_TINY_REBIAS,
+    NEG_INF,
+    fp8_to_f32_tiny,
+    interpret_mode,
+    round_up,
+)
 
 MIN_LANES = 128
 
 
 def _decode_kernel(lens_ref, hi_ref, *refs,
                    sm_scale, softcap, block_k, sq, g, rows_p,
-                   window_left, num_kv_blocks, quantized,
+                   window_left, num_kv_blocks, quantized, fp8=False,
                    has_kvb=False, has_leftpad=False):
     it = iter(refs)
     if has_kvb:
@@ -80,10 +87,15 @@ def _decode_kernel(lens_ref, hi_ref, *refs,
             # the matmul instead of rescaling the whole (block_k, d) tile —
             # the convert is 1 VPU op/elem, the scale costs rows_p/d less.
             # e4m3 payloads route through the integer bit-reconstruction
-            # (common.fp8_to_f32): Mosaic's emulated astype was the whole
-            # decode bottleneck (78 Gelem/s -> 0.09 of roofline).
-            k = kernel_cast_bf16(k) if q.dtype == jnp.bfloat16 \
-                else k.astype(q.dtype)
+            # (common.fp8_to_f32_tiny, THREE int ops): Mosaic's emulated
+            # astype was the whole decode bottleneck (78 Gelem/s -> 0.09
+            # of roofline), and even the rebias fmul is folded into the
+            # per-token scales (pre-multiplied by 2^120 below) — the
+            # e>=1 codes stay exact through the tiny-value bf16 cast.
+            if fp8:
+                k = fp8_to_f32_tiny(k).astype(q.dtype)
+            else:
+                k = k.astype(q.dtype)
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
@@ -119,8 +131,10 @@ def _decode_kernel(lens_ref, hi_ref, *refs,
         if quantized:
             # p @ (v * vs) == (p * vs^T) @ v: scale the tiny p instead
             p = p * vs_ref[0, 0]
-            v = kernel_cast_bf16(v) if q.dtype == jnp.bfloat16 \
-                else v.astype(q.dtype)
+            if fp8:
+                v = fp8_to_f32_tiny(v).astype(q.dtype)
+            else:
+                v = v.astype(q.dtype)
         pv = jax.lax.dot_general(
             p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -225,6 +239,14 @@ def flash_decode(
         if quantized:
             k_scales = jnp.pad(k_scales, ((0, 0), (0, 0), (0, Sp - S), (0, 0)))
             v_scales = jnp.pad(v_scales, ((0, 0), (0, 0), (0, Sp - S), (0, 0)))
+    is_fp8 = quantized and jnp.dtype(k_cache.dtype) == jnp.dtype(
+        jnp.float8_e4m3fn)
+    if is_fp8:
+        # fold the fp8 exponent rebias (common.fp8_to_f32_tiny) into the
+        # per-token scales the kernel multiplies anyway — one XLA pass
+        # over the (b, hk, S) scales replaces a full-tile fmul per block
+        k_scales = k_scales * jnp.float32(FP8_TINY_REBIAS)
+        v_scales = v_scales * jnp.float32(FP8_TINY_REBIAS)
     if quantized:
         # lane-major (b, hk, 1, S) so the kernel reads (1, block_k) rows —
         # a (block_k, 1) sublane-major block would need an in-kernel
@@ -274,7 +296,7 @@ def flash_decode(
             _decode_kernel,
             sm_scale=softmax_scale, softcap=softcap, block_k=block_k,
             sq=sq, g=g, rows_p=rows_p, window_left=window_size[0],
-            num_kv_blocks=nkv, quantized=quantized,
+            num_kv_blocks=nkv, quantized=quantized, fp8=is_fp8,
             has_kvb=has_kvb, has_leftpad=has_leftpad,
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
