@@ -106,10 +106,17 @@ def _chip_bw() -> float:
 
 
 def bench_decode_int8_roofline(b=8, h=32, hk=8, d=128, S=8192, n=512,
-                               rounds=4):
-    """INT8-KV flash decode at Llama-3-8B attention geometry: achieved
+                               rounds=4, kv_dtype=jnp.int8):
+    """Quantized-KV flash decode at Llama-3-8B attention geometry: achieved
     fraction of the HBM-bandwidth roofline (the binding roofline for
-    decode attention)."""
+    decode attention). kv_dtype selects the cache payload — int8 or
+    float8_e4m3fn (the BASELINE.json metric names FP8 KV; both are
+    1 byte/elem, so they share the same roofline). On v5e the fp8 path
+    dequantizes via the integer bit-reconstruction
+    (common.fp8_to_f32_tiny, rebias folded into the per-token scales):
+    chip-measured 0.79 of roofline vs int8's 0.89 native-convert floor
+    (Mosaic's emulated astype managed 0.09); v6e+ has the native fp8
+    convert."""
     import numpy as np
 
     from xhy_flash_attention_tpu.ops.flash_attention.decode_kernel import (
@@ -121,11 +128,11 @@ def bench_decode_int8_roofline(b=8, h=32, hk=8, d=128, S=8192, n=512,
     q = jnp.asarray(rng.standard_normal((b, 1, h, d)), jnp.bfloat16)
     k = quantize_kv(
         jnp.asarray(rng.standard_normal((b, hk, S, d)), jnp.bfloat16),
-        jnp.int8,
+        kv_dtype,
     )
     v = quantize_kv(
         jnp.asarray(rng.standard_normal((b, hk, S, d)), jnp.bfloat16),
-        jnp.int8,
+        kv_dtype,
     )
     lengths = jnp.full((b,), S, jnp.int32)
 
@@ -207,16 +214,23 @@ def _retry(fn, attempts=3):
 
 
 def main():
+    import functools
+
+    fp8_frac = _retry(functools.partial(
+        bench_decode_int8_roofline, kv_dtype=jnp.float8_e4m3fn))
     frac = _retry(bench_decode_int8_roofline)
     paged_frac = _retry(bench_paged_decode_int8_roofline)
     tflops = _retry(bench_attention_fwd) / 1e12
     peak_frac = tflops / (_chip_peak() / 1e12)
+    # headline = the BASELINE.json metric verbatim: Llama-3-8B decode with
+    # FP8 KV as a fraction of the HBM roofline
     print(json.dumps({
-        "metric": "llama3_8b_geometry_int8kv_decode_attn_roofline_fraction",
-        "value": round(frac, 4),
+        "metric": "llama3_8b_geometry_fp8kv_decode_attn_roofline_fraction",
+        "value": round(fp8_frac, 4),
         "unit": "fraction of HBM-bandwidth roofline (target >= 0.85)",
-        "vs_baseline": round(frac / 0.85, 4),
+        "vs_baseline": round(fp8_frac / 0.85, 4),
         "extra": {
+            "int8_decode_roofline_fraction": round(frac, 4),
             "paged_int8_decode_roofline_fraction_page512": round(
                 paged_frac, 4),
             "attn_fwd_causal_bf16_b4_s4096_h16_d128_tflops": round(tflops, 2),
