@@ -28,6 +28,10 @@ MODELS = {
     # 8k-seqlen variant (≙ reference pile/gpt3s-flash-8k): long-seq
     # attention dominates; exercises remat + the merged backward
     "gpt2s-8k": (12, 768, 12, 2, 8192),
+    # 8k control with MXU-native d=128 heads: isolates how much of the 8k
+    # MFU gap is GPT-2's d=64 head shape (both attention matmul dims
+    # half-filled -> ~50% MXU ceiling on 52% of the model FLOPs)
+    "gpt2s-8k-d128": (12, 768, 6, 2, 8192),
     # control: gpt2m geometry with MXU-native 128-dim heads — isolates how
     # much of the MFU gap is GPT-2's d=64 head shape (half-width MXU
     # operands in every attention matmul) vs the framework
