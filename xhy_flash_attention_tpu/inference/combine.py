@@ -27,9 +27,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..ops.flash_attention.common import (
+    FP8_TINY_REBIAS,
     NEG_INF,
+    fp8_to_f32_tiny,
     interpret_mode,
-    kernel_cast_bf16,
     round_up,
 )
 
@@ -103,8 +104,8 @@ def _splitkv_kernel(lens_ref, *refs,
             # are lane-major (1, block_k) per-token rows folded into the
             # tiny score matrix after the matmul (≙ FA3 k_descale/v_descale
             # composed with split-KV, flash_api.h:69-78,141-162)
-            k = kernel_cast_bf16(k) if q.dtype == jnp.bfloat16 \
-                else k.astype(q.dtype)
+            k = fp8_to_f32_tiny(k).astype(q.dtype) \
+                if k.dtype == jnp.float8_e4m3fn else k.astype(q.dtype)
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
@@ -133,8 +134,8 @@ def _splitkv_kernel(lens_ref, *refs,
         v = v_ref[0, 0]
         if quantized:
             p = p * vs_ref[0, 0]
-            v = kernel_cast_bf16(v) if q.dtype == jnp.bfloat16 \
-                else v.astype(q.dtype)
+            v = fp8_to_f32_tiny(v).astype(q.dtype) \
+                if v.dtype == jnp.float8_e4m3fn else v.astype(q.dtype)
         pv = jax.lax.dot_general(
             p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -175,6 +176,11 @@ def _splitkv_raw(
     if quantized:
         k_cache, k_scales = k_cache.values, k_cache.scales
         v_cache, v_scales = v_cache.values, v_cache.scales
+        if jnp.dtype(k_cache.dtype) == jnp.dtype(jnp.float8_e4m3fn):
+            # fold the fp8 exponent rebias into the per-token scales
+            # (see decode_kernel.py / common.fp8_to_f32_tiny)
+            k_scales = k_scales * jnp.float32(FP8_TINY_REBIAS)
+            v_scales = v_scales * jnp.float32(FP8_TINY_REBIAS)
     b, sq, h, d = q.shape
     hk, S = k_cache.shape[1], k_cache.shape[2]
     g = h // hk

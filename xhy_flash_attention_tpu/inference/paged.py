@@ -45,9 +45,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..ops.flash_attention.common import (
+    FP8_TINY_REBIAS,
     NEG_INF,
+    fp8_to_f32_tiny,
     interpret_mode,
-    kernel_cast_bf16,
     round_up,
 )
 
@@ -136,6 +137,15 @@ class PagedKVCache:
         return PagedKVCache(kv, page_table, lengths, sc)
 
 
+def _rebias_scales(cache) -> jax.Array:
+    """Per-token scales for the decode kernels: fp8 pages fold the
+    exponent rebias (common.fp8_to_f32_tiny) into the scales here, one
+    XLA pass over the 1.5%-of-cache scale buffer per call."""
+    if jnp.dtype(cache.kv_pages.dtype) == jnp.dtype(jnp.float8_e4m3fn):
+        return cache.kv_scales * jnp.float32(FP8_TINY_REBIAS)
+    return cache.kv_scales
+
+
 def _paged_decode_kernel(lens_ref, table_ref, *refs,
                          sm_scale, softcap, page_size, sq, g, rows_p,
                          window_left, num_blocks, quantized):
@@ -160,8 +170,8 @@ def _paged_decode_kernel(lens_ref, table_ref, *refs,
         q = q_ref[0, 0]
         k = kv_ref[0, 0, 0]                # (page_size, d) — page block
         if quantized:
-            k = kernel_cast_bf16(k) if q.dtype == jnp.bfloat16 \
-                else k.astype(q.dtype)
+            k = fp8_to_f32_tiny(k).astype(q.dtype) \
+                if k.dtype == jnp.float8_e4m3fn else k.astype(q.dtype)
             sc = sc_ref[0, 0]              # (2, page_size) linear scales
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
@@ -191,8 +201,8 @@ def _paged_decode_kernel(lens_ref, table_ref, *refs,
         v = kv_ref[0, 0, 1]
         if quantized:
             p = p * sc[1:2]
-            v = kernel_cast_bf16(v) if q.dtype == jnp.bfloat16 \
-                else v.astype(q.dtype)
+            v = fp8_to_f32_tiny(v).astype(q.dtype) \
+                if v.dtype == jnp.float8_e4m3fn else v.astype(q.dtype)
         pv = jax.lax.dot_general(
             p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -321,8 +331,8 @@ def _paged_decode_chunked_kernel(
 
         q = q_ref[0, 0]
         kv = kvbuf[slot]
-        k = kernel_cast_bf16(kv[0]) if q.dtype == jnp.bfloat16 \
-            else kv[0].astype(q.dtype)
+        k = fp8_to_f32_tiny(kv[0]).astype(q.dtype) \
+            if kv.dtype == jnp.float8_e4m3fn else kv[0].astype(q.dtype)
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -353,8 +363,8 @@ def _paged_decode_chunked_kernel(
         p = jnp.exp(s - jnp.maximum(m_next[:, :1], 0.5 * NEG_INF))
         l_scr[...] = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
         m_scr[...] = m_next
-        v = kernel_cast_bf16(kv[1]) if q.dtype == jnp.bfloat16 \
-            else kv[1].astype(q.dtype)
+        v = fp8_to_f32_tiny(kv[1]).astype(q.dtype) \
+            if kv.dtype == jnp.float8_e4m3fn else kv[1].astype(q.dtype)
         if quantized:
             p = p * sc_ref[0, 0][1:2]
         pv = jax.lax.dot_general(
@@ -421,7 +431,7 @@ def _paged_decode_chunked(q, cache, qr, *, sm_scale, window_size, softcap,
     if quantized:
         kv_specs.append(pl.BlockSpec(
             (1, 1, 2, C * ps), lambda b_, h_, ic, *_: (b_, h_, 0, ic)))
-        kv_inputs.append(cache.kv_scales)
+        kv_inputs.append(_rebias_scales(cache))
 
     scratch = [
         pltpu.VMEM((2, 2, C * ps, d), cache.kv_pages.dtype),
@@ -528,7 +538,7 @@ def paged_flash_decode(
         kv_specs.append(pl.BlockSpec(
             (1, 1, 2, page_size),
             lambda b_, h_, ikv, *_: (b_, h_, 0, ikv)))
-        kv_inputs.append(cache.kv_scales)
+        kv_inputs.append(_rebias_scales(cache))
 
     out = pl.pallas_call(
         functools.partial(

@@ -48,9 +48,9 @@ from .common import (
     fm_block_stats,
     fm_pad_vecs,
     fm_skip_bypass,
-    fp8_to_f32,
+    FP8_TINY_REBIAS,
+    fp8_to_f32_tiny,
     interpret_mode,
-    kernel_cast_bf16,
     pad_to_block,
 )
 
@@ -157,8 +157,14 @@ def _fwd_kernel(
         # linear in the accumulator and folds into the output epilogue.
         hk_idx = h_idx // (pl.num_programs(1) // kv_heads)
         dsc_i = b_idx * kv_heads + hk_idx
-        qd_kd = dsc_ref[dsc_i] * dsc_ref[dsc_n + dsc_i]
-        v_descale = dsc_ref[2 * dsc_n + dsc_i]
+        # the tiny-value reconstruction (fp8_to_f32_tiny) leaves q/k/v at
+        # value * 2^-120; q's and v's rebias factors fold into these
+        # per-block scalars (k keeps its own fmul — folding BOTH factors
+        # here would need 2^240, which overflows f32)
+        qd_kd = (dsc_ref[dsc_i] * dsc_ref[dsc_n + dsc_i]
+                 * jnp.float32(FP8_TINY_REBIAS))
+        v_descale = dsc_ref[2 * dsc_n + dsc_i] * jnp.float32(
+            FP8_TINY_REBIAS)
     else:
         qd_kd = v_descale = None
     if flat_iter:
@@ -331,9 +337,10 @@ def _fwd_kernel(
             # (common.fp8_to_f32 — 4x Mosaic's emulated astype); qd*kd
             # rides the same q-tile scale multiply the bf16 path already
             # pays for sm_scale
-            q = (fp8_to_f32(q_ref[0, 0])
+            q = (fp8_to_f32_tiny(q_ref[0, 0])
                  * (sm_scale * qd_kd)).astype(jnp.bfloat16)
-            k = kernel_cast_bf16(k_ref[0, 0])
+            k = (fp8_to_f32_tiny(k_ref[0, 0])
+                 * jnp.float32(FP8_TINY_REBIAS)).astype(jnp.bfloat16)
         else:
             q = (q_ref[0, 0].astype(jnp.float32) * sm_scale).astype(q_ref.dtype)
             k = k_ref[0, 0]
@@ -381,7 +388,8 @@ def _fwd_kernel(
             kseg = kseg_ref[0]        # (1, bk)
             s = jnp.where(qseg == kseg, s, NEG_INF)
 
-        v = kernel_cast_bf16(v_ref[0, 0]) if fp8 else v_ref[0, 0]
+        v = fp8_to_f32_tiny(v_ref[0, 0]).astype(jnp.bfloat16) \
+            if fp8 else v_ref[0, 0]
         if single_shot:
             # Single-KV-block direct path (the s<=1024 training shapes at
             # 1024^2 tiles): the row's ONLY block computes the complete
