@@ -391,3 +391,18 @@ def test_image_datamodule_from_npy(tmp_path):
     assert dm.img_size == 16 and dm.num_samples == 64
     x, y = next(iter(dm))
     assert x.shape == (8, 16, 16, 3) and y.shape == (8, 10)
+
+
+def test_vit_config_task_dispatch(tmp_path):
+    """train() routes task: image configs to ViTTrainer (≙ the reference's
+    Hydra task-group selection)."""
+    from xhy_flash_attention_tpu.training.train import train
+    from xhy_flash_attention_tpu.training.vision import ViTTrainer
+
+    t = train(
+        "xhy_flash_attention_tpu/training/configs/vit-synthetic.yaml",
+        **{"max_steps": 2, "ckpt_every": 0, "ckpt_dir": str(tmp_path),
+           "model.img_size": 16, "model.depth": 1, "model.embed_dim": 64,
+           "data.batch_size": 8},
+    )
+    assert isinstance(t, ViTTrainer) and t.step == 2

@@ -49,6 +49,11 @@ class DataConfig:
 
 @dataclasses.dataclass
 class TrainConfig:
+    # task selects the training target (≙ the reference's Hydra task
+    # group: src/tasks/seq.py SequenceLMModel vs the vision task):
+    # "lm" -> Trainer(GPTLMHeadModel + LMDataModule), "image" ->
+    # ViTTrainer(VisionTransformer + ImageDataModule)
+    task: str = "lm"
     model: Dict[str, Any] = dataclasses.field(default_factory=dict)
     optimizer: OptimizerConfig = dataclasses.field(
         default_factory=OptimizerConfig)
@@ -159,9 +164,9 @@ def load_config(path: str | Path, overrides: Optional[Dict[str, Any]] = None
         scheduler=SchedulerConfig(**tree.get("scheduler", {})),
         data=DataConfig(**tree.get("data", {})),
         **{k: v for k, v in tree.items()
-           if k in {"max_steps", "log_every", "ckpt_every", "ckpt_dir",
-                    "resume", "seed", "dtype", "sequence_parallel",
-                    "zero_stage", "pipeline_parallel",
+           if k in {"task", "max_steps", "log_every", "ckpt_every",
+                    "ckpt_dir", "resume", "seed", "dtype",
+                    "sequence_parallel", "zero_stage", "pipeline_parallel",
                     "pipeline_microbatches"}},
         mesh=tuple(tree.get("mesh", (1, 1))),
     )

@@ -515,11 +515,17 @@ class Trainer:
         return float(loss)
 
 
-def train(config_path: str, **overrides) -> Trainer:
-    """CLI-style entry (≙ training/run.py main)."""
+def train(config_path: str, **overrides):
+    """CLI-style entry (≙ training/run.py main). The config's ``task``
+    key selects the trainer: "lm" (default) or "image" (ViTTrainer)."""
     from .config import load_config
 
     cfg = load_config(config_path, overrides or None)
-    t = Trainer(cfg)
+    if getattr(cfg, "task", "lm") == "image":
+        from .vision import ViTTrainer
+
+        t = ViTTrainer(cfg)
+    else:
+        t = Trainer(cfg)
     t.fit()
     return t
