@@ -93,6 +93,37 @@ def bench_attention_fwd(b=4, s=4096, h=16, d=128, causal=True, n=48,
     return flops / dt
 
 
+def bench_attention_fwd_fp8(b=4, s=4096, h=16, d=128, n=48, rounds=3):
+    """FP8 e4m3 causal prefill forward with per-head descale (≙ FA3 fp8,
+    the BASELINE hopper capability) at the same shape/accounting as the
+    bf16 headline. The descale operand is perturbed by the carried
+    accumulator so the loop-invariant pallas call cannot be hoisted out
+    of the chain (chip A/B: fp8 measures ~5% ABOVE bf16 — half the input
+    HBM bytes beat the in-kernel integer-reconstruction dequant)."""
+    from xhy_flash_attention_tpu import flash_attn_fp8_func
+    from xhy_flash_attention_tpu.ops.quant import quantize_fp8_per_head
+
+    ks = jax.random.split(jax.random.PRNGKey(0), 3)
+    q8, qd = quantize_fp8_per_head(
+        jax.random.normal(ks[0], (b, s, h, d), jnp.float32))
+    k8, kd = quantize_fp8_per_head(
+        jax.random.normal(ks[1], (b, s, h, d), jnp.float32))
+    v8, vd = quantize_fp8_per_head(
+        jax.random.normal(ks[2], (b, s, h, d), jnp.float32))
+
+    def step(c):
+        acc = c[0]
+        o = flash_attn_fp8_func(q8, k8, v8, qd + acc * 1e-38, kd, vd,
+                                causal=True)
+        return (acc + o[0, 0, 0, :1].astype(jnp.float32).sum(),)
+
+    import statistics
+
+    dt = statistics.median(
+        _timed_chain(step, (jnp.float32(0),), n) for _ in range(rounds))
+    return 4 * b * s * s * h * d * 0.5 / dt
+
+
 _HBM_BW = {"v5 lite": 819e9, "v5e": 819e9, "v5p": 2765e9, "v4": 1228e9,
            "v6": 1640e9}
 
@@ -221,6 +252,7 @@ def main():
     frac = _retry(bench_decode_int8_roofline)
     paged_frac = _retry(bench_paged_decode_int8_roofline)
     tflops = _retry(bench_attention_fwd) / 1e12
+    fp8_tflops = _retry(bench_attention_fwd_fp8) / 1e12
     peak_frac = tflops / (_chip_peak() / 1e12)
     # headline = the BASELINE.json metric verbatim: Llama-3-8B decode with
     # FP8 KV as a fraction of the HBM roofline
@@ -234,6 +266,7 @@ def main():
             "paged_int8_decode_roofline_fraction_page512": round(
                 paged_frac, 4),
             "attn_fwd_causal_bf16_b4_s4096_h16_d128_tflops": round(tflops, 2),
+            "attn_fwd_causal_fp8_same_shape_tflops": round(fp8_tflops, 2),
             "attn_fwd_fraction_of_bf16_peak": round(peak_frac, 4),
         },
     }))
