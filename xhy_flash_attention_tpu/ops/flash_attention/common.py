@@ -59,14 +59,6 @@ def fp8_to_f32_tiny(x: jax.Array) -> jax.Array:
 FP8_TINY_REBIAS = 2.0 ** 120
 
 
-def kernel_cast_bf16(x: jax.Array) -> jax.Array:
-    """Cast a kernel tile to bf16, routing e4m3 through fp8_to_f32 (the
-    fast path on hardware without native fp8 converts)."""
-    if jnp.dtype(x.dtype) == jnp.dtype(jnp.float8_e4m3fn):
-        return fp8_to_f32(x).astype(jnp.bfloat16)
-    return x.astype(jnp.bfloat16)
-
-
 def cdiv(a: int, b: int) -> int:
     return -(-a // b)
 
