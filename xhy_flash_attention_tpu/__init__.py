@@ -14,6 +14,7 @@ from .ops.flash_attention import (
     flashmask_attention,
     flash_attention,
     flash_attn_fp8_func,
+    flash_attn_with_kvcache,
     flash_attn_func,
     flash_attn_qkvpacked_func,
     flash_attn_kvpacked_func,

@@ -15,6 +15,7 @@ from .flashmask import (
 from .interface import (
     flash_attention,
     flash_attn_fp8_func,
+    flash_attn_with_kvcache,
     flash_attn_func,
     flash_attn_qkvpacked_func,
     flash_attn_kvpacked_func,

@@ -28,10 +28,12 @@ import jax.numpy as jnp
 from .common import BlockSizes, round_up
 from .fwd import flash_attention_fwd
 from .bwd import flash_attention_bwd
+from ...layers.rotary import apply_rotary_emb
 
 __all__ = [
     "flash_attention",
     "flash_attn_fp8_func",
+    "flash_attn_with_kvcache",
     "flash_attn_func",
     "flash_attn_qkvpacked_func",
     "flash_attn_kvpacked_func",
@@ -489,3 +491,142 @@ def flash_attn_varlen_kvpacked_func(q, kv, cu_seqlens_q, cu_seqlens_k,
         return_attn_probs=return_attn_probs, deterministic=deterministic,
         dropout_seed=dropout_seed,
     )
+
+
+def flash_attn_with_kvcache(
+    q,
+    k_cache,
+    v_cache,
+    k=None,
+    v=None,
+    rotary_cos=None,
+    rotary_sin=None,
+    cache_seqlens=None,
+    cache_batch_idx=None,
+    cache_leftpad=None,
+    softmax_scale=None,
+    causal: bool = True,
+    window_size: Tuple[int, int] = (-1, -1),
+    softcap: float = 0.0,
+    rotary_interleaved: bool = False,
+    num_splits: int = 1,
+):
+    """Decode against a growing KV cache under the mainline-FA2 name —
+    migration surface for ``flash_attn_with_kvcache`` users (the pinned
+    reference exposes the same capabilities only through the FA3 C params,
+    csrc/flash_attn_v3/flash_api.h:100-150: knew/vnew append, rotary,
+    seqused_k, kv_batch_idx, leftpad_k, num_splits).
+
+    q: (b, sq, h, d). k_cache/v_cache: (b, S, hk, d) dense arrays in the
+    reference's cache layout, or this package's QuantizedKV pair (already
+    (b, hk, S, d) + per-token scales). k/v: optional (b, sq, hk, d) new
+    tokens appended at position ``cache_seqlens`` before attending.
+    rotary_cos/sin: (max_s, rot/2) tables applied to q AND the new k at
+    each sample's absolute positions. cache_seqlens: int or (b,) tokens
+    already in the cache. cache_batch_idx: (b,) cache row serving query
+    row i (requires k is None — appends would race shared rows).
+    cache_leftpad: (b,) first valid cache column. num_splits != 1 routes
+    through the split-KV kernels (0 = heuristic).
+
+    JAX is functional, so the cache CANNOT be mutated in place like the
+    reference: with k/v given the call returns ``(out, k_cache, v_cache)``
+    — thread the updated cache into the next step (donate it under jit
+    for in-place buffer reuse). Without k/v it returns just ``out``.
+    With sq > 1 the new queries attend causally at their positions
+    (``causal=False`` whole-block visibility is only meaningful for
+    sq == 1, where the two coincide).
+    """
+    from ...ops.quant import QuantizedKV, quantize_kv
+
+    b, sq, h, d = q.shape
+    if softmax_scale is None:
+        softmax_scale = d ** -0.5
+    if sq > 1 and not causal:
+        raise NotImplementedError(
+            "sq > 1 with causal=False: new queries always attend at "
+            "their causal positions here")
+
+    quantized = isinstance(k_cache, QuantizedKV)
+    if quantized:
+        S = k_cache.values.shape[2]
+        hk = k_cache.values.shape[1]
+    else:
+        S, hk = k_cache.shape[1], k_cache.shape[2]
+        # reference cache layout (b, S, hk, d) -> kernel layout
+        k_cache = jnp.swapaxes(k_cache, 1, 2)
+        v_cache = jnp.swapaxes(v_cache, 1, 2)
+
+    if cache_seqlens is None:
+        if k is not None:
+            raise ValueError("appending k/v requires cache_seqlens")
+        lens0 = jnp.full((b,), S, jnp.int32)
+    else:
+        lens0 = jnp.broadcast_to(
+            jnp.asarray(cache_seqlens, jnp.int32), (b,))
+
+    appending = k is not None
+    if appending:
+        if cache_batch_idx is not None:
+            raise NotImplementedError(
+                "cache_batch_idx with k/v append: shared cache rows would "
+                "be written once per query row — append first, then call "
+                "with k=None")
+        if rotary_cos is not None:
+            pos = lens0[:, None] + jnp.arange(sq)[None, :]   # (b, sq)
+            cos = jnp.asarray(rotary_cos)[pos]               # (b, sq, r/2)
+            sin = jnp.asarray(rotary_sin)[pos]
+            q = apply_rotary_emb(q, cos, sin, rotary_interleaved)
+            k = apply_rotary_emb(k, cos, sin, rotary_interleaved)
+        kn = jnp.swapaxes(k, 1, 2)   # (b, hk, sq, d)
+        vn = jnp.swapaxes(v, 1, 2)
+        off = lens0 + (jnp.asarray(cache_leftpad, jnp.int32)
+                       if cache_leftpad is not None else 0)
+
+        def upd(cache, new):
+            def one(c, n, o):
+                return jax.lax.dynamic_update_slice(
+                    c, n.astype(c.dtype), (0, o, 0))
+            return jax.vmap(one)(cache, new, off)
+
+        if quantized:
+            knq = quantize_kv(kn, k_cache.values.dtype)
+            vnq = quantize_kv(vn, v_cache.values.dtype)
+            k_cache = QuantizedKV(upd(k_cache.values, knq.values),
+                                  upd(k_cache.scales, knq.scales))
+            v_cache = QuantizedKV(upd(v_cache.values, vnq.values),
+                                  upd(v_cache.scales, vnq.scales))
+        else:
+            k_cache = upd(k_cache, kn)
+            v_cache = upd(v_cache, vn)
+    elif rotary_cos is not None:
+        pos = lens0[:, None] - sq + jnp.arange(sq)[None, :]
+        cos = jnp.asarray(rotary_cos)[pos]
+        sin = jnp.asarray(rotary_sin)[pos]
+        q = apply_rotary_emb(q, cos, sin, rotary_interleaved)
+
+    lengths = lens0 + (sq if appending else 0)
+
+    from .decode_kernel import flash_decode
+
+    if num_splits != 1 and cache_batch_idx is None \
+            and cache_leftpad is None:
+        from ...inference.combine import flash_decode_splitkv
+
+        out = flash_decode_splitkv(
+            q, k_cache, v_cache, lengths,
+            softmax_scale=float(softmax_scale), num_splits=num_splits,
+            window_size=(int(window_size[0]), int(window_size[1])),
+            softcap=float(softcap))
+    else:
+        out = flash_decode(
+            q, k_cache, v_cache, lengths,
+            softmax_scale=float(softmax_scale),
+            window_size=(int(window_size[0]), int(window_size[1])),
+            softcap=float(softcap),
+            kv_batch_idx=cache_batch_idx, leftpad_k=cache_leftpad)
+    if not appending:
+        return out
+    if quantized:
+        return out, k_cache, v_cache
+    return (out, jnp.swapaxes(k_cache, 1, 2),
+            jnp.swapaxes(v_cache, 1, 2))
