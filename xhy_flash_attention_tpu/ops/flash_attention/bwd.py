@@ -58,6 +58,7 @@ from .common import (
     interpret_mode,
     pad_to_block,
     round_up,
+    stats_packed_ok,
 )
 
 MIN_LANES = 128
@@ -815,7 +816,7 @@ def flash_attention_bwd(
         kp = pad_to_block(k, 2, bk)
         vp = pad_to_block(v, 2, bk)
         dop = pad_to_block(do, 2, bq)
-        stats_packed = bq % 128 == 0
+        stats_packed = stats_packed_ok(bq, qp.shape[2])
         if stats_packed:
             # Dense lane-packed stats: (b, h, sqp) viewed as
             # (b, h, sqp/128, 128) — a free bitcast. The old x8 lane
@@ -1175,7 +1176,7 @@ def flash_attention_bwd(
         has_eff=use_eff,
         pos_window=pos_window,
         flat_iter=flat_causal,
-        stats_packed=bq1 % 128 == 0,
+        stats_packed=stats_packed_ok(bq1, sqp1),
         # one (q, kv, group) step per (b, h) and no block-skip feature:
         # dK/dV/dQ each complete in the single body — write them directly
         # (XFA_SINGLE_SHOT=0 lever shared with the fwd kernel)
@@ -1350,7 +1351,7 @@ def flash_attention_bwd(
     params2 = dict(params1)
     params2.update(
         block_q=bq2, block_k=bk2, num_q_blocks=nq2, num_kv_blocks=nkv2,
-        stats_packed=bq2 % 128 == 0,
+        stats_packed=stats_packed_ok(bq2, sqp2),
     )
     dq = pl.pallas_call(
         functools.partial(_bwd_dq_entry, params=params2),

@@ -59,6 +59,15 @@ def fp8_to_f32_tiny(x: jax.Array) -> jax.Array:
 FP8_TINY_REBIAS = 2.0 ** 120
 
 
+def stats_packed_ok(bq: int, sqp: int) -> bool:
+    """Whether the lane-packed (sqp/128, 128) lse/delta layout is
+    Mosaic-legal at this block size: the per-block sublane count bq/128
+    must be a multiple of 8 OR the block must span the whole padded
+    sequence (Mosaic's block divisibility rule — caught compiled-only by
+    the chip feature smoke; interpret mode does not enforce it)."""
+    return bq % 128 == 0 and ((bq // 128) % 8 == 0 or bq == sqp)
+
+
 def cdiv(a: int, b: int) -> int:
     return -(-a // b)
 

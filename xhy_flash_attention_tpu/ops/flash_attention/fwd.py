@@ -52,6 +52,7 @@ from .common import (
     fp8_to_f32_tiny,
     interpret_mode,
     pad_to_block,
+    stats_packed_ok,
 )
 
 MIN_LANES = 128
@@ -920,7 +921,7 @@ def flash_attention_fwd(
         o_map = q_map
         lse_map = lambda b_, h_, iq, ikv, *_: (b_, h_, iq, 0)
     out_specs = [pl.BlockSpec(qblk_shape, o_map)]
-    stats_packed = bq % 128 == 0
+    stats_packed = stats_packed_ok(bq, sqp)
     if need_lse:
         if stats_packed:
             # Dense lane-packed lse: (b, h, sqp) stored as
