@@ -182,3 +182,58 @@ def test_kvcache_rejects_bad_combos():
         flash_attn_with_kvcache(
             jnp.zeros((b, 2, h, d), jnp.bfloat16), kc, kc,
             cache_seqlens=8, causal=False)
+
+
+def _paged_cache(rng, b, hk, d, page_size, lengths, Sp):
+    from xhy_flash_attention_tpu.inference.paged import PagedKVCache
+
+    k = rng.standard_normal((b, hk, Sp, d)).astype(np.float32)
+    v = rng.standard_normal((b, hk, Sp, d)).astype(np.float32)
+    nblocks = Sp // page_size
+    num_pages = b * nblocks + 2
+    k_pages = np.zeros((num_pages, hk, page_size, d), np.float32)
+    v_pages = np.zeros((num_pages, hk, page_size, d), np.float32)
+    table = np.zeros((b, nblocks), np.int32)
+    p = 1
+    for i in range(b):
+        for blk in range(nblocks):
+            table[i, blk] = p
+            k_pages[p] = k[i, :, blk * page_size:(blk + 1) * page_size]
+            v_pages[p] = v[i, :, blk * page_size:(blk + 1) * page_size]
+            p += 1
+    cache = PagedKVCache.from_kv(
+        jnp.asarray(k_pages), jnp.asarray(v_pages), jnp.asarray(table),
+        jnp.asarray(lengths, jnp.int32))
+    return jnp.asarray(k), jnp.asarray(v), cache
+
+
+def test_kvcache_paged_append_and_attend():
+    from xhy_flash_attention_tpu.inference.paged import PagedKVCache
+
+    rng = np.random.default_rng(7)
+    b, hk, d, ps, Sp = 2, 2, 64, 128, 384
+    h, sq = 4, 1
+    lens0 = [130, 77]
+    kd, vd, cache = _paged_cache(rng, b, hk, d, ps, lens0, Sp)
+    q = jnp.asarray(rng.standard_normal((b, sq, h, d)), jnp.float32)
+    kn = jnp.asarray(rng.standard_normal((b, sq, hk, d)), jnp.float32)
+    vn = jnp.asarray(rng.standard_normal((b, sq, hk, d)), jnp.float32)
+
+    out, cache2 = flash_attn_with_kvcache(q, cache, None, k=kn, v=vn)
+    assert isinstance(cache2, PagedKVCache)
+    assert np.array_equal(np.asarray(cache2.lengths),
+                          np.asarray(cache.lengths) + sq)
+
+    # golden: dense cache with the new tokens written at lens0
+    kd2, vd2 = np.array(kd), np.array(vd)
+    for i in range(b):
+        kd2[i, :, lens0[i]:lens0[i] + sq] = np.asarray(kn[i]).transpose(1, 0, 2)
+        vd2[i, :, lens0[i]:lens0[i] + sq] = np.asarray(vn[i]).transpose(1, 0, 2)
+    ref = _golden(q, jnp.asarray(kd2), jnp.asarray(vd2),
+                  jnp.asarray(lens0, jnp.int32) + sq, d ** -0.5)
+    err = float(jnp.abs(out.astype(jnp.float32) - ref).max())
+    assert err < 2e-3, err
+
+    # v_cache must be None with a paged cache
+    with pytest.raises(ValueError):
+        flash_attn_with_kvcache(q, cache, cache)

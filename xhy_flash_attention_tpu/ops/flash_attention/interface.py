@@ -546,6 +546,41 @@ def flash_attn_with_kvcache(
             "sq > 1 with causal=False: new queries always attend at "
             "their causal positions here")
 
+    # paged cache (≙ FA3 page_table): k_cache is a PagedKVCache carrying
+    # both K and V plus its own lengths/page table; v_cache must be None
+    from ...inference.paged import PagedKVCache
+
+    if isinstance(k_cache, PagedKVCache):
+        if v_cache is not None:
+            raise ValueError(
+                "a PagedKVCache carries both K and V — pass v_cache=None")
+        for bad, name in ((cache_batch_idx, "cache_batch_idx"),
+                          (cache_leftpad, "cache_leftpad")):
+            if bad is not None:
+                raise NotImplementedError(f"{name} with a paged cache")
+        from ...inference.paged import append_paged_kv, paged_flash_decode
+
+        cache = k_cache
+        if k is not None:
+            if rotary_cos is not None:
+                pos = cache.lengths[:, None] + jnp.arange(sq)[None, :]
+                cos = jnp.asarray(rotary_cos)[pos]
+                sin = jnp.asarray(rotary_sin)[pos]
+                q = apply_rotary_emb(q, cos, sin, rotary_interleaved)
+                k = apply_rotary_emb(k, cos, sin, rotary_interleaved)
+            cache = append_paged_kv(cache, jnp.swapaxes(k, 1, 2),
+                                    jnp.swapaxes(v, 1, 2))
+        elif rotary_cos is not None:
+            pos = cache.lengths[:, None] - sq + jnp.arange(sq)[None, :]
+            q = apply_rotary_emb(q, jnp.asarray(rotary_cos)[pos],
+                                 jnp.asarray(rotary_sin)[pos],
+                                 rotary_interleaved)
+        out = paged_flash_decode(
+            q, cache, softmax_scale=float(softmax_scale),
+            window_size=(int(window_size[0]), int(window_size[1])),
+            softcap=float(softcap))
+        return (out, cache) if k is not None else out
+
     quantized = isinstance(k_cache, QuantizedKV)
     if quantized:
         S = k_cache.values.shape[2]
