@@ -218,10 +218,14 @@ def flash_decode(
     b, sq, h, d = q.shape
     hk, S = k_cache.shape[1], k_cache.shape[2]
     if block_k is None:
-        # target ~0.5-1 MB per KV tile: quantized payloads are 1 byte/elem
-        # so they want twice the tokens per block (v5e: int8 at 2048 -> 71%
-        # of HBM BW, at 4096 -> ~95-105%)
-        big = 4096 if k_cache.dtype.itemsize == 1 else 2048
+        # bigger tiles amortize per-grid-step overhead (DMA issue + mask
+        # scalars) and, for 1-byte payloads, the dequant convert; grid
+        # cells still pipeline DMA/compute across (b, hk) so nkv == 1 is
+        # fine. Chip sweep (S=8k/16k, GQA 32/8 d128): int8 4096 -> 0.885,
+        # 8192 -> 0.911 of roofline; fp8 4096 -> 0.793, 8192 -> 0.861.
+        # Trade-off: a sample's DMA covers ceil(len/block_k) blocks, so
+        # very mixed lengths in one batch prefer smaller explicit blocks.
+        big = 8192 if k_cache.dtype.itemsize == 1 else 2048
         block_k = min(big, round_up(S, 512))
     g = h // hk
     rows = sq * g
