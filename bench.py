@@ -145,9 +145,9 @@ def bench_decode_int8_roofline(b=8, h=32, hk=8, d=128, S=8192, n=512,
     1 byte/elem, so they share the same roofline). On v5e the fp8 path
     dequantizes via the integer bit-reconstruction
     (common.fp8_to_f32_tiny, rebias folded into the per-token scales):
-    chip-measured 0.79 of roofline vs int8's 0.89 native-convert floor
-    (Mosaic's emulated astype managed 0.09); v6e+ has the native fp8
-    convert."""
+    chip-measured 0.87 of roofline (>= the 0.85 target) vs int8's 0.90
+    native-convert floor (Mosaic's emulated astype managed 0.09); v6e+
+    has the native fp8 convert."""
     import numpy as np
 
     from xhy_flash_attention_tpu.ops.flash_attention.decode_kernel import (

@@ -16,10 +16,10 @@ TPU design:
     kernels.
 
 Quantized-KV throughput (v5e, GQA 32/8 d=128 S=8k): bf16 ~90% of HBM BW,
-INT8 0.89 of the 1-byte roofline (1.7x the bf16 tokens/s — the whole
+INT8 0.91 of the 1-byte roofline (1.7x the bf16 tokens/s — the whole
 point of the quantized cache). FP8 e4m3 has no hardware convert on v5e;
 the in-kernel integer bit-reconstruction (common.fp8_to_f32_tiny, rebias
-folded into the per-token scales) reaches ~0.8 of the same roofline vs
+folded into the per-token scales) reaches 0.87 of the same roofline vs
 0.09 through Mosaic's emulated astype. v6e+ can use the native convert.
 """
 
